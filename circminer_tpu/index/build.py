@@ -1,0 +1,181 @@
+"""Genome k-mer index: build, store, load.
+
+Replaces the mrsFAST hash table (reference: src/mrsfast/HashTable.c).  The
+reference keeps, per 14-bp window hash, a list of (checksum, position) entries
+sorted by (checksum, position) and binary-searches the checksum range at query
+time (HashTable.c:769-839, match_read.cpp:54-110).
+
+TPU-native layout: one flat, (hash, checksum, position)-sorted entry table per
+contig plus a dense ``bucket_start[4^14 + 1]`` offset array.  Lookup is then a
+pair of gathers and a vectorized binary search — no pointers, fully batched.
+
+Positions are 1-based (like the reference's ``loc``) and fit int32 since a
+packed contig is at most 1.1 Gbp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List
+
+import numpy as np
+
+from ..config import Config, WINDOW_SIZE
+
+INDEX_MAGIC = "circminer-tpu-index-v1"
+
+
+@dataclasses.dataclass
+class ContigIndex:
+    """Dense k-mer index of one packed contig."""
+    name: str                 # contig name ("1", "2", ...)
+    length: int               # contig length in bases
+    codes: np.ndarray         # int8[length] genome codes (A0 C1 G2 T3 N4)
+    bucket_start: np.ndarray  # int32[4^window + 1] offsets into entries
+                              # (int32 on purpose: a contig holds <= 1.1G
+                              #  entries and TPU jax runs with x64 disabled)
+    entry_checksum: np.ndarray  # int16[n_entries], sorted within bucket
+    entry_pos: np.ndarray     # int32[n_entries] 1-based k-mer start positions
+
+    @property
+    def n_entries(self) -> int:
+        return int(self.entry_pos.shape[0])
+
+
+@dataclasses.dataclass
+class GenomeIndex:
+    window_size: int
+    checksum_len: int
+    contigs: List[ContigIndex]
+
+    @property
+    def kmer(self) -> int:
+        return self.window_size + self.checksum_len
+
+
+def _rolling_hash(codes: np.ndarray, k: int) -> np.ndarray:
+    """int64 hash of every k-window via k accumulation passes (memory-light)."""
+    n = codes.shape[0]
+    m = n - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    x = np.where(codes < 4, codes, 0).astype(np.int64)
+    h = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        h <<= 2
+        h |= x[j: j + m]
+    return h
+
+
+def _valid_windows(codes: np.ndarray, k: int) -> np.ndarray:
+    """bool[m]: window of k bases contains no N."""
+    n = codes.shape[0]
+    m = n - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=bool)
+    is_n = (codes >= 4).astype(np.int32)
+    cs = np.concatenate([[0], np.cumsum(is_n)])
+    return (cs[k:] - cs[:-k]) == 0
+
+
+def build_contig_index(codes: np.ndarray, name: str, cfg: Config) -> ContigIndex:
+    """Build the sorted entry table for one contig.
+
+    Equivalent to generateHashTable[OnDisk] + sortHashTable
+    (HashTable.c:257-476, 824-839) but as three vectorized passes:
+    hash, filter, sort.
+    """
+    w = cfg.window_size
+    cs_len = cfg.checksum_len
+    k = w + cs_len
+    n = codes.shape[0]
+
+    full_hash = _rolling_hash(codes, k)          # k-base big-endian hash
+    ok = _valid_windows(codes, k)
+    idx = np.nonzero(ok)[0]
+
+    fh = full_hash[idx]
+    hv = (fh >> (2 * cs_len)).astype(np.int64)   # 14-bp window hash
+    if cs_len > 0:
+        cv = (fh & ((1 << (2 * cs_len)) - 1)).astype(np.int16)
+    else:
+        cv = np.zeros(len(idx), dtype=np.int16)
+    pos = (idx + 1).astype(np.int32)             # 1-based
+
+    # sort by (hv, checksum, pos); np.lexsort is stable, last key primary
+    order = np.lexsort((pos, cv, hv))
+    hv, cv, pos = hv[order], cv[order], pos[order]
+
+    n_buckets = 1 << (2 * w)
+    counts = np.bincount(hv, minlength=n_buckets)
+    bucket_start = np.zeros(n_buckets + 1, dtype=np.int32)
+    np.cumsum(counts, out=bucket_start[1:])
+
+    return ContigIndex(
+        name=name,
+        length=n,
+        codes=np.ascontiguousarray(codes, dtype=np.int8),
+        bucket_start=bucket_start,
+        entry_checksum=np.ascontiguousarray(cv),
+        entry_pos=np.ascontiguousarray(pos),
+    )
+
+
+def build_genome_index(contigs: List[np.ndarray], cfg: Config) -> GenomeIndex:
+    cfg.validate()
+    out = [
+        build_contig_index(c, str(i + 1), cfg) for i, c in enumerate(contigs)
+    ]
+    return GenomeIndex(cfg.window_size, cfg.checksum_len, out)
+
+
+# --- serialization -----------------------------------------------------------
+
+def save_genome_index(gi: GenomeIndex, path: str, compact: bool = False) -> None:
+    """Persist index. compact=True stores genome only (entries are rebuilt at
+    load time), mirroring the reference's compact index (-m) trade-off
+    (HashTable.c:383-476)."""
+    payload = {
+        "magic": np.array(INDEX_MAGIC),
+        "window_size": np.array(gi.window_size),
+        "checksum_len": np.array(gi.checksum_len),
+        "compact": np.array(int(compact)),
+        "n_contigs": np.array(len(gi.contigs)),
+    }
+    for i, ci in enumerate(gi.contigs):
+        payload[f"c{i}_name"] = np.array(ci.name)
+        payload[f"c{i}_codes"] = ci.codes
+        if not compact:
+            payload[f"c{i}_bucket_start"] = ci.bucket_start
+            payload[f"c{i}_checksum"] = ci.entry_checksum
+            payload[f"c{i}_pos"] = ci.entry_pos
+    np.savez_compressed(path, **payload)
+
+
+def load_genome_index(path: str) -> GenomeIndex:
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    z = np.load(path, allow_pickle=False)
+    if str(z["magic"]) != INDEX_MAGIC:
+        raise ValueError(f"bad index magic in {path}")
+    w = int(z["window_size"])
+    cs_len = int(z["checksum_len"])
+    compact = bool(int(z["compact"]))
+    cfg = Config(kmer=w + cs_len, window_size=w)
+    contigs = []
+    for i in range(int(z["n_contigs"])):
+        codes = z[f"c{i}_codes"]
+        name = str(z[f"c{i}_name"])
+        if compact:
+            contigs.append(build_contig_index(codes, name, cfg))
+        else:
+            contigs.append(ContigIndex(
+                name=name,
+                length=codes.shape[0],
+                codes=codes,
+                bucket_start=z[f"c{i}_bucket_start"],
+                entry_checksum=z[f"c{i}_checksum"],
+                entry_pos=z[f"c{i}_pos"],
+            ))
+    return GenomeIndex(w, cs_len, contigs)

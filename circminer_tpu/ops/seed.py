@@ -1,0 +1,188 @@
+"""Batched seed lookup against the dense genome index.
+
+Reference behavior (src/match_read.cpp:54-286): a read is cut into
+non-overlapping k-mers (stride = k); each k-mer's 14-bp window hash selects a
+bucket and a binary search over the 6-bp checksum selects the exact-match
+position range; k-mers with more than ``seed_lim`` occurrences are dropped
+(count=0) but remembered as "high hits".
+
+TPU-native form: everything is a fixed-shape batched computation —
+``[B, NL]`` hash gathers + a vectorized binary search over the flat sorted
+entry table, followed by a bounded gather of at most S positions per k-mer.
+Seed slots are laid out exactly like the reference's ``GIMatchedKmer`` array:
+non-overlapping k-mers occupy even slots (ll_step=2, match_read.cpp:270-286),
+odd slots stay empty; the chain DP consumes all slots.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..index.build import ContigIndex
+
+
+class SeedHits(NamedTuple):
+    """Per (read, kmer-slot) lookup result; shapes [B, n_slots]."""
+    qpos: np.ndarray      # int32 query start of the k-mer (0-based), -1 unused
+    start: np.ndarray     # int64 offset into entry_pos of first hit
+    count: np.ndarray     # int32 number of hits (0 if none or > seed_lim)
+    high_hit: np.ndarray  # bool: had hits but above seed_lim
+
+
+# --- host (numpy) oracle -----------------------------------------------------
+
+def lookup_read_host(codes: np.ndarray, ci: ContigIndex, cfg: Config):
+    """split_match_hash for one read on host. Returns SeedHits-like arrays of
+    length cfg.max_seg_cnt (even slots populated)."""
+    from .encode import hash_at
+
+    k = cfg.kmer
+    w = cfg.window_size
+    cs_len = cfg.checksum_len
+    n_slots = cfg.max_seg_cnt
+    L = codes.shape[0]
+
+    qpos = np.full(n_slots, -1, dtype=np.int32)
+    start = np.zeros(n_slots, dtype=np.int64)
+    count = np.zeros(n_slots, dtype=np.int32)
+    high = np.zeros(n_slots, dtype=bool)
+
+    slot = 0
+    for i in range(0, L, k):
+        if L - i < k:
+            break
+        qpos[slot] = i
+        fh = hash_at(codes, i, k)
+        if fh >= 0:
+            hv = fh >> (2 * cs_len)
+            cv = fh & ((1 << (2 * cs_len)) - 1) if cs_len else 0
+            lo = ci.bucket_start[hv]
+            hi = ci.bucket_start[hv + 1]
+            sub = ci.entry_checksum[lo:hi]
+            l = np.searchsorted(sub, cv, side="left")
+            r = np.searchsorted(sub, cv, side="right")
+            c = int(r - l)
+            if c > cfg.seed_lim:
+                high[slot] = True
+                c = 0
+            count[slot] = c
+            start[slot] = lo + l
+        slot += 2
+    return SeedHits(qpos, start, count, high)
+
+
+# --- device (jax) version ----------------------------------------------------
+
+def _bisect(keys: jnp.ndarray, target: jnp.ndarray, lo: jnp.ndarray,
+            hi: jnp.ndarray, side_right: bool, iters: int) -> jnp.ndarray:
+    """Vectorized binary search of ``target`` within keys[lo:hi].
+
+    All of target/lo/hi share a shape; returns insertion offsets (absolute).
+    Fixed ``iters`` iterations so it stays jit-friendly.
+    """
+    def body(_, state):
+        lo_, hi_ = state
+        mid = (lo_ + hi_) >> 1
+        kv = keys[jnp.clip(mid, 0, keys.shape[0] - 1)]
+        if side_right:
+            go_right = kv <= target
+        else:
+            go_right = kv < target
+        active = lo_ < hi_
+        lo2 = jnp.where(active & go_right, mid + 1, lo_)
+        hi2 = jnp.where(active & ~go_right, mid, hi_)
+        return lo2, hi2
+
+    lo_f, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo_f
+
+
+@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim"))
+def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
+                        bucket_start: jnp.ndarray, entry_checksum: jnp.ndarray,
+                        *, k: int, cs_len: int, n_slots: int, seed_lim: int):
+    """Batched seed lookup: [B, L] int8 reads -> per-slot (start, count, hh).
+
+    Only even slots are populated (odd slots are the reference's reserved
+    overlapping-kmer slots and stay empty).
+    """
+    B, L = read_codes.shape
+    n_nonov = (n_slots + 1) // 2
+
+    w = k - cs_len  # window size; hash fits int32 (2w <= 28 bits)
+    x = read_codes.astype(jnp.int32)
+    valid_base = x < 4
+    xc = jnp.where(valid_base, x, 0)
+
+    # k-mer start offsets per non-overlapping slot
+    starts = jnp.arange(n_nonov, dtype=jnp.int32) * k          # [NL]
+    in_read = (starts + k) <= read_lens[:, None]               # [B, NL]
+
+    # gather k bases per slot: indices [NL, k]
+    gidx = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    gidx = jnp.clip(gidx, 0, L - 1)
+    bases = xc[:, gidx]                                        # [B, NL, k]
+    ok = jnp.all(valid_base[:, gidx], axis=-1) & in_read       # [B, NL]
+
+    # NOTE: int32 only — TPU runs with x64 disabled, so the window hash
+    # (<=28 bits) and checksum (<=16 bits) are computed separately rather
+    # than as one 2k-bit value.
+    wbasis = (4 ** jnp.arange(w - 1, -1, -1, dtype=jnp.int32))
+    hv = jnp.sum(bases[..., :w] * wbasis, axis=-1)             # [B, NL]
+    if cs_len:
+        cbasis = (4 ** jnp.arange(cs_len - 1, -1, -1, dtype=jnp.int32))
+        cv = jnp.sum(bases[..., w:] * cbasis, axis=-1)
+    else:
+        cv = jnp.zeros_like(hv)
+
+    hv_safe = jnp.where(ok, hv, 0)
+    lo = bucket_start[hv_safe]
+    hi = bucket_start[hv_safe + 1]
+
+    n_entries = entry_checksum.shape[0]
+    iters = max(1, int(np.ceil(np.log2(max(2, n_entries + 1)))) + 1)
+    cs32 = entry_checksum.astype(jnp.int32)
+    left = _bisect(cs32, cv, lo, hi, side_right=False, iters=iters)
+    right = _bisect(cs32, cv, lo, hi, side_right=True, iters=iters)
+
+    cnt = (right - left).astype(jnp.int32)
+    cnt = jnp.where(ok, cnt, 0)
+    high = cnt > seed_lim
+    cnt = jnp.where(high, 0, cnt)
+
+    # scatter into the strided slot layout [B, n_slots]
+    def strided(v, fill):
+        out = jnp.full((B, n_slots), fill, v.dtype)
+        return out.at[:, ::2].set(v)
+
+    qpos = jnp.where(in_read, starts[None, :], -1).astype(jnp.int32)
+    return (
+        strided(qpos, jnp.int32(-1)),
+        strided(left.astype(jnp.int32), jnp.int32(0)),
+        strided(cnt, jnp.int32(0)),
+        strided(high, False),
+    )
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def gather_seeds_device(entry_pos: jnp.ndarray, start: jnp.ndarray,
+                        count: jnp.ndarray, *, cap: int):
+    """Gather up to ``cap`` sorted positions per (read, slot).
+
+    Returns int32 [B, n_slots, cap] positions (0 where masked) and the same
+    count array clipped to cap.  Entries within a (hash, checksum) range are
+    position-sorted by construction, matching the reference's introSortGI
+    ordering (Sort.c).
+    """
+    offs = jnp.arange(cap, dtype=jnp.int32)
+    idx = start[..., None] + offs                         # [B, S, cap]
+    idx = jnp.clip(idx, 0, entry_pos.shape[0] - 1)
+    pos = entry_pos[idx].astype(jnp.int32)
+    mask = offs < count[..., None]
+    return jnp.where(mask, pos, 0), mask

@@ -1,0 +1,23 @@
+"""Test harness: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count) since real multi-chip hardware is not
+available in CI.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
