@@ -7,12 +7,17 @@ available in CI.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# NOTE: the JAX_PLATFORMS env var is NOT honored in this environment (the
+# axon TPU plugin registers regardless and tests silently run against the
+# remote chip, ~60s/test); jax.config.update works.
+import jax
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
