@@ -1,0 +1,182 @@
+"""Command-line interface.
+
+Mirrors the reference's flag set (src/commandline_parser.cpp) on top of the
+TPU-native engine:
+
+    circminer-tpu --index -r ref.fa -k 20
+    circminer-tpu -r ref.fa -g ref.gtf -1 R1.fq -2 R2.fq -o out [--pam|--sam]
+
+Unlike the reference's per-contig rounds, the whole index is resident at
+once; the per-round "remain" FASTQ round-trip collapses to a single mapping
+pass that still writes the stage-2 remain files (bit-compatible 23-token
+headers) so --stage 1 resume works identically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+import numpy as np
+
+from .config import (Config, CONCRD, CHIBSJ, CHI2BSJ, DISCARDMAPREPORT,
+                     PAMFORMAT, SAMFORMAT)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="circminer-tpu",
+        description="TPU-native circRNA detection (CircMiner-compatible)")
+    p.add_argument("-i", "--index", action="store_true")
+    p.add_argument("-m", "--compact-index", action="store_true")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-g", "--gtf")
+    p.add_argument("-s", "--seq")
+    p.add_argument("-1", "--seq1", dest="seq1")
+    p.add_argument("-2", "--seq2", dest="seq2")
+    p.add_argument("-k", "--kmer", type=int, default=20)
+    p.add_argument("-l", "--rlen", type=int, default=300)
+    p.add_argument("-o", "--output", default="output")
+    p.add_argument("-t", "--thread", type=int, default=1)
+    p.add_argument("-d", "--verbosity", type=int, default=0)
+    p.add_argument("-a", "--scan-lev", type=int, default=0)
+    p.add_argument("-e", "--max-ed", type=int, default=4)
+    p.add_argument("-c", "--max-sc", type=int, default=7)
+    p.add_argument("-w", "--band", type=int, default=3)
+    p.add_argument("-S", "--seed-lim", type=int, default=500)
+    p.add_argument("-T", "--max-tlen", type=int, default=500)
+    p.add_argument("-I", "--max-intron", type=int, default=2_000_000)
+    p.add_argument("-C", "--max-chain-list", type=int, default=30)
+    p.add_argument("-q", "--stage", type=int, default=2)
+    p.add_argument("-z", "--keep-intermediate", action="store_true")
+    p.add_argument("-Z", "--internal-sort", action="store_true")
+    p.add_argument("-A", "--sam", action="store_true")
+    p.add_argument("-P", "--pam", action="store_true")
+    p.add_argument("--device", choices=["host", "tpu"], default="host",
+                   help="seed+chain compute path (tpu = batched device kernels)")
+    return p
+
+
+def config_from_args(args) -> Config:
+    report = SAMFORMAT if args.sam else (PAMFORMAT if args.pam
+                                         else DISCARDMAPREPORT)
+    return Config(
+        kmer=args.kmer, max_read_len=args.rlen, max_ed=args.max_ed,
+        max_sc=args.max_sc, band_width=args.band, seed_lim=args.seed_lim,
+        max_tlen=args.max_tlen, max_intron=args.max_intron,
+        max_chain_len=args.max_chain_list, scan_level=args.scan_lev,
+        stage=args.stage, report_mapping=report,
+        paired_end=args.seq2 is not None,
+        compact_index=args.compact_index,
+        final_cleaning=not args.keep_intermediate,
+        internal_sort=args.internal_sort, threads=args.thread,
+    ).validate()
+
+
+def run_index(args, cfg: Config) -> int:
+    from .io.fasta import GenomePacker
+    from .index.build import build_genome_index, save_genome_index
+    gp = GenomePacker(args.reference)
+    print("[INFO] packing reference genome...", file=sys.stderr)
+    contigs, info = gp.pack_genome()
+    print(f"[INFO] building index over {len(contigs)} contig(s)...",
+          file=sys.stderr)
+    gi = build_genome_index(contigs, cfg)
+    save_genome_index(gi, gp.index_fname, compact=cfg.compact_index)
+    print(f"[INFO] index written to {gp.index_fname}.npz", file=sys.stderr)
+    return 0
+
+
+def run_search(args, cfg: Config) -> int:
+    from .io.fasta import GenomePacker, chrloc2conloc
+    from .io.fastq import read_pairs, RemainWriter
+    from .index.build import load_genome_index
+    from .annotation.annotation import AnnotationDB
+    from .pipeline.mapping import Mapper, make_host_seeder
+    from .pipeline.output import SamOutput
+    from .pipeline.circ import ProcessCirc
+
+    gp = GenomePacker(args.reference)
+    info = gp.load_index_info()
+    gi = load_genome_index(gp.index_fname)
+    cfg = Config(**{**cfg.__dict__, "kmer": gi.kmer})
+    n_contigs = GenomePacker.packed_contig_cnt(info)
+    print(f"[INFO] loaded index: {n_contigs} contig(s), kmer={gi.kmer}",
+          file=sys.stderr)
+
+    db = AnnotationDB.from_gtf(
+        args.gtf, info, n_contigs, cfg,
+        contig_lengths=[c.length for c in gi.contigs])
+    print("[INFO] GTF loaded", file=sys.stderr)
+
+    fmt = {SAMFORMAT: "sam", PAMFORMAT: "pam"}.get(cfg.report_mapping)
+    last_round = n_contigs
+
+    if cfg.stage != 1:
+        out = SamOutput(args.output, fmt, info)
+        remain = RemainWriter(args.output, last_round)
+
+        def conloc(chrname, s, e):
+            return chrloc2conloc(db.chr2con, chrname, s, e)
+
+        if args.device == "tpu":
+            from .pipeline.device_pipeline import DeviceMappingPipeline
+            pipe = DeviceMappingPipeline(db, gi, cfg)
+            n = pipe.map_stream(read_pairs(args.seq1, args.seq2, cfg),
+                                out, remain, conloc)
+        else:
+            mappers = [
+                Mapper(db, c, gi.contigs[c].codes, cfg,
+                       make_host_seeder(gi.contigs[c], cfg))
+                for c in range(n_contigs)
+            ]
+            n = 0
+            for rec1, rec2 in read_pairs(args.seq1, args.seq2, cfg):
+                # single-pass over the whole resident index: process the
+                # read against every contig (replaces per-contig rounds)
+                for c, mapper in enumerate(mappers):
+                    state = mapper.process_read_pe(rec1, rec2)
+                    if cfg.scan_level == 0 and state == CONCRD:
+                        break
+                if fmt:
+                    out.write_pam_pe(rec1, rec2) if fmt == "pam" else \
+                        out.write_sam_pe(rec1, rec2)
+                if rec1.mr.type in (CHIBSJ, CHI2BSJ):
+                    remain.write(rec1, rec2, rec1.mr, conloc)
+                n += 1
+        out.close()
+        remain.close()
+        print(f"[INFO] mapping done: {n} pairs", file=sys.stderr)
+
+    if cfg.stage != 0:
+        from .io.fastq import FastqReader
+        import itertools
+        r1p = f"{args.output}_{last_round}_remain_R1.fastq"
+        r2p = f"{args.output}_{last_round}_remain_R2.fastq"
+        recs = list(zip(FastqReader(r1p, cfg), FastqReader(r2p, cfg)))
+        recs.sort(key=lambda pr: pr[0].mr.genome_spos)
+        pc = ProcessCirc(db, gi, cfg, args.output)
+        pc.run(recs)
+        pc.report_events(args.output + ".circ_report")
+        pc.write_candidates(args.output + ".candidates.pam")
+        print(f"[INFO] circRNA detection done: "
+              f"{len(pc.circ_res)} candidate reads, report at "
+              f"{args.output}.circ_report", file=sys.stderr)
+    return 0
+
+
+def main(argv: List[str] = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    if args.index:
+        return run_index(args, cfg)
+    if not args.gtf or (not args.seq and not args.seq1):
+        print("error: search mode needs -g and -1/-2 (or -s)",
+              file=sys.stderr)
+        return 1
+    return run_search(args, cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

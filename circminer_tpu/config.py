@@ -74,6 +74,7 @@ WINDOW_SIZE = 14
 MAX_CHECKSUM_LEN = 8
 
 INF = int(1e9)
+MINLB = 0
 MAXUB = 4294967295
 
 

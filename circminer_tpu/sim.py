@@ -1,0 +1,204 @@
+"""Synthetic genome / annotation / read simulator.
+
+Plays the role of the reference's offline simulation tooling
+(scripts/circ_simulation_eval) in-repo: generates a random genome with a
+gene/transcript/exon annotation, then simulates paired-end RNA-seq reads from
+linear transcripts and from circularized exon runs (back-splice junctions),
+with ground truth retained for evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .ops.encode import decode_seq, revcomp, encode_seq
+
+BASES = "ACGT"
+
+
+@dataclasses.dataclass
+class SimTranscript:
+    tid: str
+    gene: str
+    exons: List[Tuple[int, int]]  # 1-based inclusive, chromosome coords
+
+
+@dataclasses.dataclass
+class SimGene:
+    gid: str
+    start: int
+    end: int
+    strand: str
+    transcripts: List[SimTranscript]
+
+
+@dataclasses.dataclass
+class SimGenome:
+    chrom: str
+    seq: str                     # chromosome sequence (ACGT)
+    genes: List[SimGene]
+
+    def write_fasta(self, path: str, width: int = 60):
+        with open(path, "w") as f:
+            f.write(f">{self.chrom}\n")
+            for i in range(0, len(self.seq), width):
+                f.write(self.seq[i:i + width] + "\n")
+
+    def write_gtf(self, path: str):
+        with open(path, "w") as f:
+            for g in self.genes:
+                attrs = f'gene_id "{g.gid}";'
+                f.write(f"{self.chrom}\tsim\tgene\t{g.start}\t{g.end}\t.\t"
+                        f"{g.strand}\t.\t{attrs}\n")
+                for t in g.transcripts:
+                    ts = min(s for s, _ in t.exons)
+                    te = max(e for _, e in t.exons)
+                    ta = attrs + f' transcript_id "{t.tid}";'
+                    f.write(f"{self.chrom}\tsim\ttranscript\t{ts}\t{te}\t.\t"
+                            f"{g.strand}\t.\t{ta}\n")
+                    exons = t.exons if g.strand == "+" else t.exons[::-1]
+                    for i, (s, e) in enumerate(exons):
+                        ea = ta + f' exon_number "{i + 1}";'
+                        f.write(f"{self.chrom}\tsim\texon\t{s}\t{e}\t.\t"
+                                f"{g.strand}\t.\t{ea}\n")
+
+
+def make_genome(rng: np.random.Generator, length: int = 100_000,
+                n_genes: int = 4, exons_per_gene: int = 5,
+                exon_len: Tuple[int, int] = (150, 400),
+                intron_len: Tuple[int, int] = (200, 800),
+                chrom: str = "chr1") -> SimGenome:
+    seq = "".join(rng.choice(list(BASES), size=length))
+    genes: List[SimGene] = []
+    gene_gap = length // (n_genes + 1)
+    pos = gene_gap // 2
+    for gi in range(n_genes):
+        exons = []
+        p = pos
+        for ei in range(exons_per_gene):
+            el = int(rng.integers(*exon_len))
+            exons.append((p, p + el - 1))
+            p += el + int(rng.integers(*intron_len))
+        gid = f"G{gi + 1}"
+        strand = "+" if gi % 2 == 0 else "-"
+        txs = [SimTranscript(f"T{gi + 1}.1", gid, exons)]
+        # a second isoform skipping one middle exon
+        if exons_per_gene >= 3:
+            skip = exons[:1] + exons[2:]
+            txs.append(SimTranscript(f"T{gi + 1}.2", gid, skip))
+        genes.append(SimGene(gid, exons[0][0], exons[-1][1], strand, txs))
+        pos += gene_gap
+        if exons[-1][1] + gene_gap // 2 > length:
+            break
+    return SimGenome(chrom, seq, genes)
+
+
+def transcript_seq(g: SimGenome, t: SimTranscript) -> str:
+    return "".join(g.seq[s - 1:e] for s, e in t.exons)
+
+
+def circular_seq(g: SimGenome, t: SimTranscript, i0: int, i1: int) -> str:
+    """Sequence of the circle made of exons i0..i1 (inclusive)."""
+    return "".join(g.seq[s - 1:e] for s, e in t.exons[i0:i1 + 1])
+
+
+def _mutate(rng, s: str, rate: float) -> str:
+    if rate <= 0:
+        return s
+    out = list(s)
+    for i in range(len(out)):
+        if rng.random() < rate:
+            out[i] = BASES[(BASES.index(out[i]) + int(rng.integers(1, 4))) % 4]
+    return "".join(out)
+
+
+@dataclasses.dataclass
+class SimRead:
+    name: str
+    r1: str
+    r2: str
+    truth: str  # "linear" | "circ" (a read covers the BSJ) | "circ_mid"
+                # (fragment crosses the BSJ but neither read does -> looks
+                #  like an inverted-order pair, CHIORF in the reference)
+    circ_bp: Optional[Tuple[int, int]] = None  # (spos, epos) chromosome coords
+
+
+def simulate_reads(rng: np.random.Generator, g: SimGenome, n_linear: int,
+                   n_circ: int, read_len: int = 100,
+                   frag_len: Tuple[int, int] = (150, 350),
+                   err_rate: float = 0.0) -> Tuple[List[SimRead],
+                                                   List[Tuple[int, int]]]:
+    """Simulate PE reads; R2 is the reverse complement mate (FR orientation).
+    Circular fragments are drawn from a circularized exon run so a subset of
+    reads/mates crosses the back-splice junction."""
+    reads: List[SimRead] = []
+    circ_truth: List[Tuple[int, int]] = []
+
+    all_tx = [(gene, t) for gene in g.genes for t in gene.transcripts]
+    for i in range(n_linear):
+        gene, t = all_tx[int(rng.integers(0, len(all_tx)))]
+        ts = transcript_seq(g, t)
+        fl = int(rng.integers(*frag_len))
+        fl = min(fl, len(ts))
+        if fl < read_len:
+            fl = min(len(ts), read_len)
+        start = int(rng.integers(0, len(ts) - fl + 1))
+        frag = ts[start:start + fl]
+        r1 = _mutate(rng, frag[:read_len], err_rate)
+        r2 = _mutate(rng, decode_seq(revcomp(encode_seq(frag[-read_len:]))),
+                     err_rate)
+        reads.append(SimRead(f"L{i}", r1, r2, "linear"))
+
+    # circles: use exons 1..3 of each gene's first transcript
+    circles = []
+    for gene in g.genes:
+        t = gene.transcripts[0]
+        if len(t.exons) >= 4:
+            i0, i1 = 1, 3
+        else:
+            i0, i1 = 0, len(t.exons) - 1
+        cs = circular_seq(g, t, i0, i1)
+        bp = (t.exons[i0][0], t.exons[i1][1])
+        circles.append((gene, t, i0, i1, cs, bp))
+
+    for i in range(n_circ):
+        gene, t, i0, i1, cs, bp = circles[int(rng.integers(0, len(circles)))]
+        L = len(cs)
+        fl = int(rng.integers(*frag_len))
+        fl = min(fl, L)
+        if fl < read_len:
+            fl = read_len
+        # rotate so the fragment crosses the back-splice junction: start
+        # near the end of the circle
+        start = int(rng.integers(0, L))
+        frag = (cs + cs)[start:start + fl]
+        r1 = _mutate(rng, frag[:read_len], err_rate)
+        r2 = _mutate(rng, decode_seq(revcomp(encode_seq(frag[-read_len:]))),
+                     err_rate)
+        crosses = start + fl > L
+        truth = "linear"
+        if crosses:
+            # junction offset within the fragment; detectable only when a
+            # read covers it with enough flank to anchor a seed on each side
+            jpos = L - start
+            margin = 18
+            in_r1 = margin <= jpos <= read_len - margin
+            in_r2 = margin <= jpos - (fl - read_len) <= read_len - margin
+            truth = "circ" if (in_r1 or in_r2) else "circ_mid"
+        reads.append(SimRead(f"C{i}", r1, r2, truth,
+                             circ_bp=bp if crosses else None))
+        if truth == "circ":
+            circ_truth.append(bp)
+    return reads, sorted(set(circ_truth))
+
+
+def write_fastq(reads: List[SimRead], r1_path: str, r2_path: str):
+    with open(r1_path, "w") as f1, open(r2_path, "w") as f2:
+        for r in reads:
+            q1 = "I" * len(r.r1)
+            q2 = "I" * len(r.r2)
+            f1.write(f"@{r.name}\n{r.r1}\n+\n{q1}\n")
+            f2.write(f"@{r.name}\n{r.r2}\n+\n{q2}\n")
