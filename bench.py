@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark: paired-end reads/sec/chip for the full map+call pipeline.
+
+Generates (and caches) a synthetic genome + annotation + PE read set, runs
+the complete pipeline — batched device seed lookup + chain DP, host
+extension/categories, circRNA stage — and reports throughput.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline normalizes against a nominal 10,000 PE reads/sec/chip target
+(the reference repo publishes no benchmark numbers — SURVEY.md §6; the
+CircMiner paper reports order-minutes for ~40M reads on a multicore CPU,
+i.e. ~10-100k reads/s/machine).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 10_000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="small quick run")
+    ap.add_argument("--n-reads", type=int, default=None)
+    ap.add_argument("--genome-len", type=int, default=None)
+    ap.add_argument("--err-rate", type=float, default=0.005)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    n_reads = args.n_reads or (500 if args.smoke else 20_000)
+    genome_len = args.genome_len or (100_000 if args.smoke else 5_000_000)
+
+    from circminer_tpu.config import Config, CHIBSJ, CHI2BSJ, CONCRD
+    from circminer_tpu.sim import make_genome, simulate_reads
+    from circminer_tpu.io.fasta import GenomePacker, ContigLen
+    from circminer_tpu.index.build import build_genome_index
+    from circminer_tpu.annotation.annotation import AnnotationDB
+    from circminer_tpu.pipeline.device_pipeline import DeviceMappingPipeline
+    from circminer_tpu.pipeline.mapping import ReadRecord
+    from circminer_tpu.pipeline.types import MatchedRead
+    from circminer_tpu.pipeline.circ import ProcessCirc
+    from circminer_tpu.ops.encode import encode_seq, revcomp
+    import jax
+
+    rng = np.random.default_rng(20260817)
+    n_genes = max(3, genome_len // 60_000)
+    t0 = time.time()
+    g = make_genome(rng, length=genome_len, n_genes=n_genes)
+    cfg = Config(kmer=20, max_read_len=120)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        ref = os.path.join(tmp, "ref.fa")
+        gtf = os.path.join(tmp, "ref.gtf")
+        g.write_fasta(ref)
+        g.write_gtf(gtf)
+        gp = GenomePacker(ref)
+        contigs, info = gp.pack_genome()
+        gi = build_genome_index(contigs, cfg)
+        db = AnnotationDB.from_gtf(gtf, info, len(contigs), cfg,
+                                   contig_lengths=[len(c) for c in contigs])
+    setup_s = time.time() - t0
+
+    n_circ = n_reads // 5
+    reads, truth = simulate_reads(rng, g, n_reads - n_circ, n_circ,
+                                  read_len=100, err_rate=args.err_rate)
+
+    def make_pair(r):
+        s1, s2 = encode_seq(r.r1), encode_seq(r.r2)
+        return (ReadRecord(r.name, s1, revcomp(s1), "I" * len(r.r1),
+                           len(r.r1), MatchedRead.default(cfg.max_ed)),
+                ReadRecord(r.name, s2, revcomp(s2), "I" * len(r.r2),
+                           len(r.r2), None))
+
+    pairs = [make_pair(r) for r in reads]
+
+    pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=args.batch)
+    # warmup: compile all kernel shapes on a small slice
+    warm = pairs[: min(len(pairs), args.batch)]
+    pipe.map_stream(iter([(r1, r2) for r1, r2 in warm]))
+    for r1, _ in warm:
+        r1.mr = MatchedRead.default(cfg.max_ed)
+
+    t0 = time.time()
+    n = pipe.map_stream(iter(pairs))
+    map_s = time.time() - t0
+
+    t0 = time.time()
+    bsj = [(r1, r2) for r1, r2 in pairs
+           if r1.mr.type in (CHIBSJ, CHI2BSJ)]
+    for r1, _ in bsj:
+        r1.mr.genome_spos = r1.mr.spos_r1
+    bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
+    pc = ProcessCirc(db, gi, cfg, os.path.join("/tmp", "bench_out"))
+    pc.run(bsj)
+    circ_s = time.time() - t0
+
+    total_s = map_s + circ_s
+    rps = n / total_s if total_s > 0 else 0.0
+
+    n_conc = sum(1 for r1, _ in pairs if r1.mr.type == CONCRD)
+    n_bsj_reads = len(bsj)
+    n_events = len({(c.spos, c.epos) for c in pc.circ_res})
+    backend = jax.devices()[0].platform
+
+    sys.stderr.write(
+        f"[bench] backend={backend} reads={n} genome={genome_len} "
+        f"setup={setup_s:.1f}s map={map_s:.1f}s circ={circ_s:.1f}s "
+        f"CONCRD={n_conc} BSJ={n_bsj_reads} events={n_events} "
+        f"(true events={len(truth)})\n")
+
+    print(json.dumps({
+        "metric": "pe_reads_per_sec_chip_map_call",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -299,67 +299,72 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
     mee = jnp.where(nb & ~found, max_end_intr, mee)
     ol_iv = jnp.where(nb & found & exonic, iv_c, -1)
 
-    # ---- pairwise transition scores [B, M, M] ----
-    pi = posf[:, :, None]
-    pj = posf[:, None, :]
-    rd = qposf[:, None, :] - qposf[:, :, None] - k               # read dist
-    slot_ok = slot_of[None, :, None] < slot_of[None, None, :]
-    base_ok = (validf[:, :, None] & validf[:, None, :] & slot_ok
-               & (pj > pi) & (pj <= ub[:, :, None]))
-
-    # maxIntron rule: pair (cell_i, list_j) allowed iff the first candidate
-    # beyond pos_i is within max_intron (chain.cpp:148-150)
-    pj_l = pos  # [B, NL, S]
-    gt = pj_l[:, None, :, :] > posf[:, :, None, None]            # [B,M,NL,S]
-    minpos = jnp.min(jnp.where(gt, pj_l[:, None, :, :], jnp.int32(2**31 - 1)),
-                     axis=-1)                                    # [B, M, NL]
-    pair_allowed = minpos <= (posf[:, :, None] + max_intron)
-    base_ok &= pair_allowed[:, :, slot_of]
-
-    # genome gate
-    ge_allowed = (mee[:, :, None] == 0) | ((pj + k - 1) <= mee[:, :, None])
-    gd = pj - pi - k
-    g_ok = ge_allowed & (jnp.abs(gd - rd) <= max_ed)
-
-    # junction gate (chain.cpp:28-64): loop over padded segs of ol_iv_i
+    # ---- per-cell constants ----
     e1 = posf + k - 1                                            # [B, M]
-    jn_ok = jnp.zeros((B, M, M), dtype=bool)
-    jn_dist = jnp.zeros((B, M, M), dtype=jnp.int32)
-    intron_any = jnp.zeros((B, M, M), dtype=bool)
     has_iv = ol_iv >= 0
     iv_cc = jnp.clip(ol_iv, 0, n_iv - 1)
     nseg_i = iv_nseg[iv_cc]
-    for p in range(seg_pad):
-        sep = seg_end[iv_cc, p]                                  # [B, M]
-        snp = seg_next[iv_cc, p]
-        pv = has_iv & (p < nseg_i)
-        e12end = sep - e1                                        # [B, M]
-        beg2s2 = pj - snp[:, :, None]                            # [B, M, M]
-        td = e12end[:, :, None] + beg2s2
-        acc = (pv & (e12end >= 0))[:, :, None] & (beg2s2 >= 0) & \
-              (jnp.abs(td - rd) <= max_ed)
-        jn_dist = jnp.where(~jn_ok & acc, td, jn_dist)
-        jn_ok = jn_ok | acc
-        ic = (pv[:, :, None] & (e12end[:, :, None] >= 0)
-              & (e12end[:, :, None] < rd) & ((beg2s2 + k) < 0))
-        intron_any = intron_any | ic
-    s2_gt_e1 = pj > e1[:, :, None]
-    intron_dist = pj - e1[:, :, None] - 1
-    j_ok = s2_gt_e1 & (jn_ok | intron_any)
-    j_dist = jnp.where(jn_ok, jn_dist, intron_dist)
-
-    ok = base_ok & (g_ok | j_ok)
-    distt = jnp.where(g_ok, gd, j_dist)
-    beta10 = jnp.abs(distt - rd)
     alpha10 = jnp.int32(200000) * k
-    T10 = jnp.where(ok, alpha10 - beta10, _NEG)
+    pj = posf[:, None, :]                                        # [B, 1, M]
+
+    def trans_rows(rows):
+        """Transition scores for source cells `rows` -> all cells:
+        int32 [B, S, M], _NEG where invalid.  Computed lazily per DP step so
+        peak memory stays [B, S, M] instead of [B, M, M]."""
+        pi = posf[:, rows, None]                                 # [B, S, 1]
+        rd = qposf[:, None, :] - qposf[:, rows, None] - k
+        slot_ok = slot_of[None, rows, None] < slot_of[None, None, :]
+        base_ok = (validf[:, rows, None] & validf[:, None, :] & slot_ok
+                   & (pj > pi) & (pj <= ub[:, rows, None]))
+        # maxIntron rule (chain.cpp:148-150): pair (cell_i, list_j) allowed
+        # iff the first candidate beyond pos_i is within max_intron
+        gt = pos[:, None, :, :] > pi[..., None]                  # [B,S,NL,S]
+        minpos = jnp.min(
+            jnp.where(gt, pos[:, None, :, :], jnp.int32(2**31 - 1)), axis=-1)
+        pair_allowed = minpos <= (pi[..., 0, None] + max_intron)  # [B,S,NL]
+        base_ok &= pair_allowed[:, :, slot_of]
+        # genome gate
+        mee_r = mee[:, rows, None]
+        ge_allowed = (mee_r == 0) | ((pj + k - 1) <= mee_r)
+        gd = pj - pi - k
+        g_ok = ge_allowed & (jnp.abs(gd - rd) <= max_ed)
+        # junction gate (chain.cpp:28-64) over padded segs of ol_iv_i
+        e1_r = e1[:, rows]                                       # [B, S]
+        jn_ok = jnp.zeros_like(base_ok)
+        jn_dist = jnp.zeros(base_ok.shape, dtype=jnp.int32)
+        intron_any = jnp.zeros_like(base_ok)
+        ivr = iv_cc[:, rows]
+        pvr = has_iv[:, rows]
+        nsegr = nseg_i[:, rows]
+        for p in range(seg_pad):
+            sep = seg_end[ivr, p]                                # [B, S]
+            snp = seg_next[ivr, p]
+            pv = pvr & (p < nsegr)
+            e12end = sep - e1_r                                  # [B, S]
+            beg2s2 = pj - snp[:, :, None]                        # [B, S, M]
+            td = e12end[:, :, None] + beg2s2
+            acc = (pv & (e12end >= 0))[:, :, None] & (beg2s2 >= 0) & \
+                  (jnp.abs(td - rd) <= max_ed)
+            jn_dist = jnp.where(~jn_ok & acc, td, jn_dist)
+            jn_ok = jn_ok | acc
+            ic = (pv[:, :, None] & (e12end[:, :, None] >= 0)
+                  & (e12end[:, :, None] < rd) & ((beg2s2 + k) < 0))
+            intron_any = intron_any | ic
+        s2_gt_e1 = pj > e1_r[:, :, None]
+        intron_dist = pj - e1_r[:, :, None] - 1
+        j_ok = s2_gt_e1 & (jn_ok | intron_any)
+        j_dist = jnp.where(jn_ok, jn_dist, intron_dist)
+        ok = base_ok & (g_ok | j_ok)
+        distt = jnp.where(g_ok, gd, j_dist)
+        beta10 = jnp.abs(distt - rd)
+        return jnp.where(ok, alpha10 - beta10, _NEG)
 
     # ---- sequential DP over lists (descending) ----
     dp = jnp.where(validf, jnp.int32(10 * k), _NEG)              # [B, M]
     back = jnp.full((B, M), -1, dtype=jnp.int32)
     for l in range(NL - 2, -1, -1):
         rows = slice(l * S, (l + 1) * S)
-        cand = T10[:, rows, :] + dp[:, None, :]                  # [B, S, M]
+        cand = trans_rows(rows) + dp[:, None, :]                 # [B, S, M]
         bestv = jnp.max(cand, axis=-1)
         besti = jnp.argmax(cand, axis=-1).astype(jnp.int32)
         improve = bestv > dp[:, rows]
@@ -381,12 +386,11 @@ def extract_kbest(dp10: np.ndarray, back: np.ndarray, pos: np.ndarray,
     """
     k = k if k is not None else cfg.kmer
     NL, S = pos.shape
-    cells = []
-    for l in range(NL):
-        for s in range(int(cnt[l])):
-            if back[l, s] >= 0:
-                cells.append((-int(dp10[l, s]), -l, s))
-    cells.sort()
+    valid = (np.arange(S)[None, :] < np.asarray(cnt)[:, None]) & (back >= 0)
+    ls, ss = np.nonzero(valid)
+    order = np.lexsort((ss, -ls, -dp10[ls, ss]))
+    cells = [(-int(dp10[ls[i], ss[i]]), -int(ls[i]), int(ss[i]))
+             for i in order]
     chains: List[Chain] = []
     repeats = set()
     best10 = -cells[0][0] if cells else 10 * k
