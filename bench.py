@@ -33,13 +33,16 @@ def main():
     ap.add_argument("--n-reads", type=int, default=None)
     ap.add_argument("--genome-len", type=int, default=None)
     ap.add_argument("--err-rate", type=float, default=0.005)
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    import circminer_tpu
+    circminer_tpu.enable_compilation_cache()
 
     n_reads = args.n_reads or (500 if args.smoke else 20_000)
     genome_len = args.genome_len or (100_000 if args.smoke else 5_000_000)
@@ -89,11 +92,9 @@ def main():
     pairs = [make_pair(r) for r in reads]
 
     pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=args.batch)
-    # warmup: compile all kernel shapes on a small slice
-    warm = pairs[: min(len(pairs), args.batch)]
-    pipe.map_stream(iter([(r1, r2) for r1, r2 in warm]))
-    for r1, _ in warm:
-        r1.mr = MatchedRead.default(cfg.max_ed)
+    t0 = time.time()
+    pipe.warmup()
+    warm_s = time.time() - t0
 
     t0 = time.time()
     n = pipe.map_stream(iter(pairs))
@@ -119,7 +120,7 @@ def main():
 
     sys.stderr.write(
         f"[bench] backend={backend} reads={n} genome={genome_len} "
-        f"setup={setup_s:.1f}s map={map_s:.1f}s circ={circ_s:.1f}s "
+        f"setup={setup_s:.1f}s warm={warm_s:.1f}s map={map_s:.1f}s circ={circ_s:.1f}s "
         f"CONCRD={n_conc} BSJ={n_bsj_reads} events={n_events} "
         f"(true events={len(truth)})\n")
 

@@ -328,17 +328,22 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
         ge_allowed = (mee_r == 0) | ((pj + k - 1) <= mee_r)
         gd = pj - pi - k
         g_ok = ge_allowed & (jnp.abs(gd - rd) <= max_ed)
-        # junction gate (chain.cpp:28-64) over padded segs of ol_iv_i
+        # junction gate (chain.cpp:28-64) over padded segs of ol_iv_i;
+        # fori_loop keeps the HLO graph small (unrolling seg_pad inside the
+        # NL-step DP made cold compiles take minutes)
         e1_r = e1[:, rows]                                       # [B, S]
-        jn_ok = jnp.zeros_like(base_ok)
-        jn_dist = jnp.zeros(base_ok.shape, dtype=jnp.int32)
-        intron_any = jnp.zeros_like(base_ok)
         ivr = iv_cc[:, rows]
         pvr = has_iv[:, rows]
         nsegr = nseg_i[:, rows]
-        for p in range(seg_pad):
-            sep = seg_end[ivr, p]                                # [B, S]
-            snp = seg_next[ivr, p]
+
+        def seg_body(p, carry):
+            jn_ok, jn_dist, intron_any = carry
+            sep = jnp.take_along_axis(
+                seg_end[ivr], jnp.full_like(ivr, p)[..., None],
+                axis=-1)[..., 0]                                 # [B, S]
+            snp = jnp.take_along_axis(
+                seg_next[ivr], jnp.full_like(ivr, p)[..., None],
+                axis=-1)[..., 0]
             pv = pvr & (p < nsegr)
             e12end = sep - e1_r                                  # [B, S]
             beg2s2 = pj - snp[:, :, None]                        # [B, S, M]
@@ -349,7 +354,12 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
             jn_ok = jn_ok | acc
             ic = (pv[:, :, None] & (e12end[:, :, None] >= 0)
                   & (e12end[:, :, None] < rd) & ((beg2s2 + k) < 0))
-            intron_any = intron_any | ic
+            return jn_ok, jn_dist, intron_any | ic
+
+        jn_ok, jn_dist, intron_any = jax.lax.fori_loop(
+            0, seg_pad, seg_body,
+            (jnp.zeros_like(base_ok), jnp.zeros(base_ok.shape, jnp.int32),
+             jnp.zeros_like(base_ok)))
         s2_gt_e1 = pj > e1_r[:, :, None]
         intron_dist = pj - e1_r[:, :, None] - 1
         j_ok = s2_gt_e1 & (jn_ok | intron_any)
@@ -436,3 +446,25 @@ def extract_kbest(dp10: np.ndarray, back: np.ndarray, pos: np.ndarray,
                     score=float(dp10[l, s]) / 10.0,
                 ))
     return chains
+
+
+@partial(jax.jit, static_argnames=("cap", "k", "max_ed", "max_intron",
+                                  "seg_pad"))
+def gather_and_chain_device(entry_pos, start, cnt, qpos, seq_len,
+                            nb_bits, iv_spos, iv_epos, iv_max_end,
+                            iv_min_end, iv_max_next, iv_nseg, seg_end,
+                            seg_next, *, cap: int, k: int, max_ed: int,
+                            max_intron: int, seg_pad: int):
+    """Fused seed gather + chain DP: one device dispatch per bucket.
+
+    On tunneled TPU backends every dispatch pays an RTT, so the pipeline
+    keeps device round-trips to one lookup + one fused call per occupancy
+    bucket.  Returns (pos, dp10, back)."""
+    from .seed import gather_seeds_device
+    pos, _ = gather_seeds_device(entry_pos, start, cnt, cap=cap)
+    dp10, back = chain_batch_device(
+        pos, cnt, qpos, seq_len,
+        nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+        iv_max_next, iv_nseg, seg_end, seg_next,
+        k=k, max_ed=max_ed, max_intron=max_intron, seg_pad=seg_pad)
+    return pos, dp10, back

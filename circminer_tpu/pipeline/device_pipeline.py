@@ -6,14 +6,21 @@ batched device kernels over whole read blocks, 4 orientations at once
 (R1 fwd, R1 rc, R2 fwd, R2 rc), replacing the reference's per-read pointer
 chasing (filter.cpp:470-482) with gathers and masked tensor ops.
 
-Reads are bucketed by max seed occupancy so the chain DP's [B, S, M]
-working set stays small for the (vast) majority of reads while repeat-heavy
-reads still get the full seed_lim width.
+Latency design (the TPU here sits behind a tunnel where every blocking fetch
+pays an RTT):
+  - lookup outputs stay device-resident; only a packed (cnt, hh) array is
+    fetched to drive occupancy bucketing,
+  - gather + chain DP run as ONE fused dispatch per bucket with row
+    selection on device, outputs concatenated for a single fetch,
+  - batches are software-pipelined two deep: while the host runs extension
+    and category logic for batch i, the device is already chaining
+    batch i+1.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Iterable, List, Optional, Tuple
 
 import jax
@@ -23,8 +30,8 @@ import numpy as np
 from ..config import Config, CONCRD, CHIBSJ, CHI2BSJ
 from ..annotation.device import AnnoDevice
 from ..ops.chain import chain_batch_device, extract_kbest, Chain
-from ..ops.seed import lookup_batch_device, gather_seeds_device
-from .mapping import Mapper, ReadRecord, make_host_seeder
+from ..ops.seed import lookup_batch_device
+from .mapping import Mapper, ReadRecord
 
 
 @dataclasses.dataclass
@@ -35,8 +42,50 @@ class ContigDeviceState:
     anno: AnnoDevice
 
 
+@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim",
+                                  "n_lists"))
+def _lookup_packed(reads, lens, bucket_start, entry_checksum, *, k, cs_len,
+                   n_slots, seed_lim, n_lists):
+    """Lookup + compact even slots; returns device-resident
+    (start[B,NL], cnt[B,NL], qpos[B,NL]) plus packed [B, NL+1] (cnt, hh)."""
+    qpos_d, start_d, cnt_d, hh_d = lookup_batch_device(
+        reads, lens, bucket_start, entry_checksum,
+        k=k, cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim)
+    sl = slice(0, 2 * n_lists, 2)
+    cnt_c = cnt_d[:, sl]
+    qpos_c = jnp.maximum(qpos_d[:, sl], 0)
+    start_c = start_d[:, sl]
+    hh_c = hh_d[:, sl].sum(axis=1).astype(jnp.int32)
+    packed = jnp.concatenate([cnt_c, hh_c[:, None]], axis=1)
+    return start_c, cnt_c, qpos_c, packed
+
+
+@partial(jax.jit, static_argnames=("cap", "k", "max_ed", "max_intron",
+                                  "seg_pad"))
+def _chain_rows(entry_pos, start_c, cnt_c, qpos_c, lens, rows, row_valid,
+                nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+                iv_max_next, iv_nseg, seg_end, seg_next,
+                *, cap, k, max_ed, max_intron, seg_pad):
+    """Row-select on device, gather seeds, run chain DP; one concatenated
+    int32 output [R, NL, 3*cap] = (pos | dp10 | back) for a single fetch."""
+    start_r = start_c[rows]
+    cnt_r = jnp.where(row_valid[:, None], cnt_c[rows], 0)
+    qpos_r = qpos_c[rows]
+    lens_r = lens[rows]
+    offs = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.clip(start_r[..., None] + offs, 0, entry_pos.shape[0] - 1)
+    pos = jnp.where(offs < cnt_r[..., None], entry_pos[idx].astype(jnp.int32),
+                    0)
+    dp10, back = chain_batch_device(
+        pos, cnt_r, qpos_r, lens_r,
+        nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+        iv_max_next, iv_nseg, seg_end, seg_next,
+        k=k, max_ed=max_ed, max_intron=max_intron, seg_pad=seg_pad)
+    return jnp.concatenate([pos, dp10, back], axis=-1)
+
+
 class DeviceMappingPipeline:
-    def __init__(self, db, gi, cfg: Config, batch_size: int = 512,
+    def __init__(self, db, gi, cfg: Config, batch_size: int = 4096,
                  seg_pad: int = 16):
         self.db = db
         self.gi = gi
@@ -53,90 +102,105 @@ class DeviceMappingPipeline:
                 entry_pos=jax.device_put(jnp.asarray(ci.entry_pos)),
                 anno=anno))
             self.mappers.append(Mapper(db, c, ci.codes, cfg, seeder=None))
-        # non-overlapping k-mer lists for the padded read length
         self.n_lists = (cfg.max_read_len + cfg.kmer - 1) // cfg.kmer
 
-    # ---- device stage: 4-orientation seed lookup + chain DP ----
-    def chains_for_batch(self, recs: List[Tuple[ReadRecord, ReadRecord]],
-                         contig: int):
-        """Returns per pair: ((fc1,hh),(bc1,hh),(fc2,hh),(bc2,hh))."""
+    # ---- stage 1: encode + dispatch lookup ----
+    def dispatch_lookup(self, recs, contig: int):
         cfg = self.cfg
         st = self.states[contig]
         n = len(recs)
         L = cfg.max_read_len
-        seqs = np.zeros((4 * n, L), dtype=np.int8)
-        lens = np.zeros(4 * n, dtype=np.int32)
+        # always the full batch shape: a cold compile of the lookup program
+        # for a new shape costs minutes on this backend, so the final
+        # partial batch is padded with empty rows instead
+        nb = self.batch
+        seqs = np.zeros((4 * nb, L), dtype=np.int8)
+        lens = np.zeros(4 * nb, dtype=np.int32)
         for i, (r1, r2) in enumerate(recs):
             for o, s in enumerate((r1.seq, r1.rcseq, r2.seq, r2.rcseq)):
                 seqs[4 * i + o, :len(s)] = s
                 lens[4 * i + o] = len(s)
+        lens_d = jnp.asarray(lens)
+        start_c, cnt_c, qpos_c, packed = _lookup_packed(
+            jnp.asarray(seqs), lens_d, st.bucket_start, st.entry_checksum,
+            k=cfg.kmer, cs_len=cfg.checksum_len, n_slots=cfg.max_seg_cnt,
+            seed_lim=cfg.seed_lim, n_lists=self.n_lists)
+        return dict(recs=recs, contig=contig, start=start_c, cnt=cnt_c,
+                    qpos=qpos_c, packed=packed, lens=lens_d)
 
-        n_slots = cfg.max_seg_cnt
-        qpos_d, start_d, cnt_d, hh_d = lookup_batch_device(
-            jnp.asarray(seqs), jnp.asarray(lens), st.bucket_start,
-            st.entry_checksum, k=cfg.kmer, cs_len=cfg.checksum_len,
-            n_slots=n_slots, seed_lim=cfg.seed_lim)
-        cnt_h = np.asarray(cnt_d)
-        hh_h = np.asarray(hh_d)
-        qpos_h = np.asarray(qpos_d)
-
-        # compact even slots -> NL lists
-        NL = self.n_lists
-        sl = slice(0, 2 * NL, 2)
-        cnt_c = cnt_h[:, sl]
-        qpos_c = np.maximum(qpos_h[:, sl], 0)
-        start_c = np.asarray(start_d)[:, sl]
-        hh_counts = hh_h[:, sl].sum(axis=1)
-
-        # bucket rows by max occupancy; pad each bucket to a multiple of 128
-        # so the jit cache sees a handful of shapes only
-        maxocc = cnt_c.max(axis=1) if NL > 0 else np.zeros(4 * n, np.int32)
+    # ---- stage 2: fetch occupancy, dispatch fused gather+chain ----
+    def dispatch_chain(self, lf):
+        cfg = self.cfg
+        st = self.states[lf["contig"]]
         ad = st.anno
-        dp_out = [None] * (4 * n)
-        back_out = [None] * (4 * n)
-        pos_out = [None] * (4 * n)
-        caps = self._caps()
+        packed = np.asarray(lf["packed"])[: 4 * len(lf["recs"])]
+        NL = self.n_lists
+        cnt_h = packed[:, :NL]
+        hh_h = packed[:, NL]
+        maxocc = cnt_h.max(axis=1) if NL > 0 else np.zeros(len(cnt_h),
+                                                           np.int32)
+        buckets = []
         prev = 0
-        for cap in caps:
+        for cap in self._caps():
             rows = np.nonzero((maxocc <= cap) & (maxocc > prev))[0] \
                 if prev else np.nonzero(maxocc <= cap)[0]
             prev = cap
             if len(rows) == 0:
                 continue
-            R = len(rows)
-            Rp = -(-R // 128) * 128
-            pad = np.concatenate([rows, np.zeros(Rp - R, dtype=rows.dtype)])
-            cnt_pad = cnt_c[pad].copy()
-            cnt_pad[R:] = 0
-            pos_d, _ = gather_seeds_device(
-                st.entry_pos, jnp.asarray(start_c[pad]),
-                jnp.asarray(cnt_pad), cap=cap)
-            pos_b = np.asarray(pos_d)  # [Rp, NL, cap]
-            dp10, back = chain_batch_device(
-                jnp.asarray(pos_b), jnp.asarray(cnt_pad),
-                jnp.asarray(qpos_c[pad]), jnp.asarray(lens[pad]),
-                ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end,
-                ad.iv_min_end, ad.iv_max_next, ad.iv_nseg, ad.seg_end,
-                ad.seg_next, k=cfg.kmer, max_ed=cfg.max_ed,
-                max_intron=cfg.max_intron, seg_pad=ad.seg_pad)
-            dp10 = np.asarray(dp10)
-            back = np.asarray(back)
+            # fixed chunk size per cap: exactly one compiled shape per
+            # bucket, and bounded [chunk, cap, NL*cap] working set
+            chunk = self._chunk_for(cap)
+            for c0 in range(0, len(rows), chunk):
+                sub = rows[c0:c0 + chunk]
+                R = len(sub)
+                pad = np.concatenate(
+                    [sub, np.zeros(chunk - R, dtype=np.int64)]) \
+                    if R < chunk else sub
+                row_valid = np.zeros(chunk, dtype=bool)
+                row_valid[:R] = True
+                fut = _chain_rows(
+                    st.entry_pos, lf["start"], lf["cnt"], lf["qpos"],
+                    lf["lens"], jnp.asarray(pad.astype(np.int32)),
+                    jnp.asarray(row_valid),
+                    ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end,
+                    ad.iv_min_end, ad.iv_max_next, ad.iv_nseg, ad.seg_end,
+                    ad.seg_next, cap=cap, k=cfg.kmer, max_ed=cfg.max_ed,
+                    max_intron=cfg.max_intron, seg_pad=ad.seg_pad)
+                buckets.append((sub, cap, fut))
+        qpos_h = np.asarray(lf["qpos"])
+        return dict(recs=lf["recs"], contig=lf["contig"], buckets=buckets,
+                    cnt=cnt_h, qpos=qpos_h, hh=hh_h)
+
+    # ---- stage 3: fetch chains, run host mapping ----
+    def finish(self, cf) -> None:
+        cfg = self.cfg
+        recs = cf["recs"]
+        n = len(recs)
+        NL = self.n_lists
+        cnt_h, qpos_h, hh_h = cf["cnt"], cf["qpos"], cf["hh"]
+        dp_out = [None] * (4 * n)
+        back_out = [None] * (4 * n)
+        pos_out = [None] * (4 * n)
+        for rows, cap, fut in cf["buckets"]:
+            blob = np.asarray(fut)  # [Rp, NL, 3*cap]
+            pos_b = blob[:, :, :cap]
+            dp10 = blob[:, :, cap:2 * cap]
+            back = blob[:, :, 2 * cap:]
             for ri, r in enumerate(rows):
                 dp_out[r] = dp10[ri]
                 back_out[r] = back[ri]
                 pos_out[r] = pos_b[ri]
-
-        out = []
-        for i in range(n):
+        mapper = self.mappers[cf["contig"]]
+        for i, (r1, r2) in enumerate(recs):
+            if cfg.scan_level == 0 and r1.mr.type == CONCRD:
+                continue
             quad = []
             for o in range(4):
                 r = 4 * i + o
                 chains = extract_kbest(dp_out[r], back_out[r], pos_out[r],
-                                       qpos_c[r], cnt_c[r], cfg)
-                quad.append((chains, int(hh_counts[r])))
-            out.append(((quad[0][0], quad[0][1]), (quad[1][0], quad[1][1]),
-                        (quad[2][0], quad[2][1]), (quad[3][0], quad[3][1])))
-        return out
+                                       qpos_h[r], cnt_h[r], cfg)
+                quad.append((chains, int(hh_h[r])))
+            mapper.process_read_pe(r1, r2, tuple(quad))
 
     def _caps(self):
         caps = [c for c in self.cfg.seed_buckets if c <= self.cfg.seed_lim]
@@ -144,42 +208,95 @@ class DeviceMappingPipeline:
             caps = list(caps) + [self.cfg.seed_lim]
         return caps
 
-    def _prev_cap(self, cap):
-        caps = self._caps()
-        i = caps.index(cap)
-        return 0 if i == 0 else caps[i - 1]
+    def _chunk_for(self, cap: int) -> int:
+        """Row-chunk size keeping the DP working set ~hundreds of MB."""
+        if cap <= 16:
+            return 4 * self.batch
+        if cap <= 128:
+            return 1024
+        return 64
 
-    # ---- full stream mapping ----
+    # ---- full stream mapping with 2-deep software pipelining ----
     def map_stream(self, pairs: Iterable[Tuple[ReadRecord, ReadRecord]],
                    out=None, remain=None, conloc=None) -> int:
         cfg = self.cfg
         n_total = 0
-        batch: List[Tuple[ReadRecord, ReadRecord]] = []
+        n_contigs = len(self.states)
 
-        def flush():
-            nonlocal n_total
-            if not batch:
-                return
-            for contig in range(len(self.states)):
-                quads = self.chains_for_batch(batch, contig)
-                for (r1, r2), quad in zip(batch, quads):
-                    if cfg.scan_level == 0 and r1.mr.type == CONCRD:
-                        continue
-                    self.mappers[contig].process_read_pe(r1, r2, quad)
-            for r1, r2 in batch:
-                if out is not None and out.fmt:
-                    if out.fmt == "pam":
-                        out.write_pam_pe(r1, r2)
-                    else:
-                        out.write_sam_pe(r1, r2)
-                if remain is not None and r1.mr.type in (CHIBSJ, CHI2BSJ):
-                    remain.write(r1, r2, r1.mr, conloc)
-                n_total += 1
-            batch.clear()
+        def batches():
+            buf = []
+            for pr in pairs:
+                buf.append(pr)
+                if len(buf) >= self.batch:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
 
-        for pr in pairs:
-            batch.append(pr)
-            if len(batch) >= self.batch:
-                flush()
-        flush()
+        for contig in range(n_contigs):
+            if contig > 0:
+                raise NotImplementedError(
+                    "multi-contig streaming handled by CLI round loop")
+
+        gen = batches()
+        pending_chain = None  # chain-dispatched, host work not done
+        nxt = next(gen, None)
+        if nxt is not None:
+            lf = self.dispatch_lookup(nxt, 0)
+        while nxt is not None:
+            cf = self.dispatch_chain(lf)       # fetches occupancy only
+            upcoming = next(gen, None)
+            if upcoming is not None:
+                lf = self.dispatch_lookup(upcoming, 0)  # overlaps device
+            if pending_chain is not None:
+                self._finalize(pending_chain, out, remain, conloc)
+                n_total += len(pending_chain["recs"])
+            pending_chain = cf
+            nxt = upcoming
+        if pending_chain is not None:
+            self._finalize(pending_chain, out, remain, conloc)
+            n_total += len(pending_chain["recs"])
         return n_total
+
+    def _finalize(self, cf, out, remain, conloc):
+        self.finish(cf)
+        for r1, r2 in cf["recs"]:
+            if out is not None and out.fmt:
+                if out.fmt == "pam":
+                    out.write_pam_pe(r1, r2)
+                else:
+                    out.write_sam_pe(r1, r2)
+            if remain is not None and r1.mr.type in (CHIBSJ, CHI2BSJ):
+                remain.write(r1, r2, r1.mr, conloc)
+
+    def warmup(self):
+        """Execute every (cap, chunk) bucket shape plus the lookup shape so
+        no compile lands inside the streamed region.
+
+        The chain inputs MUST come from a real _lookup_packed call: feeding
+        hand-made dense arrays compiles a different executable (input
+        layouts differ) and the real one would still compile — slowly,
+        server-side — at the first streamed batch."""
+        cfg = self.cfg
+        st = self.states[0]
+        ad = st.anno
+        B = 4 * self.batch
+        NL = self.n_lists
+        lens = jnp.full((B,), cfg.max_read_len, jnp.int32)
+        reads = jnp.zeros((B, cfg.max_read_len), jnp.int8)
+        start, cnt, qpos, packed = _lookup_packed(
+            reads, lens, st.bucket_start, st.entry_checksum,
+            k=cfg.kmer, cs_len=cfg.checksum_len,
+            n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim, n_lists=NL)
+        packed.block_until_ready()
+        for cap in self._caps():
+            chunk = self._chunk_for(cap)
+            rows = jnp.zeros(chunk, jnp.int32)
+            rv = jnp.zeros(chunk, bool)
+            out = _chain_rows(
+                st.entry_pos, start, cnt, qpos, lens, rows, rv,
+                ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end,
+                ad.iv_min_end, ad.iv_max_next, ad.iv_nseg, ad.seg_end,
+                ad.seg_next, cap=cap, k=cfg.kmer, max_ed=cfg.max_ed,
+                max_intron=cfg.max_intron, seg_pad=ad.seg_pad)
+            out.block_until_ready()

@@ -117,6 +117,14 @@ class TransExtension:
         self.cfg = cfg
         self.align_type = align_type
         self.sm = al.ScoreMat()
+        # prefer the native C++ kernels; identical semantics to the oracle
+        # (pinned by tests/test_align_native.py)
+        self.native = None
+        try:
+            from ..ops.align_native import NativeAligner
+            self.native = NativeAligner()
+        except Exception:
+            self.native = None
         # query context (used by the disabled intron-entry path; kept for
         # parity of the public interface)
         self.query_seq = None
@@ -126,31 +134,54 @@ class TransExtension:
     # --- pluggable aligner (EditDist vs Drop; circminer.cpp:74-75) ---
     def _local_right_sc(self, s, t):
         c = self.cfg
+        na = self.native
         if self.align_type == EDIT_ALIGNMENT:
+            if na is not None:
+                return na.edit_local_alignment_right_sc(
+                    s, t, c.band_width, c.max_ed, c.max_sc)
             return al.edit_local_alignment_right_sc(s, t, c.band_width,
                                                     c.max_ed, c.max_sc)
+        if na is not None:
+            return na.drop_local_alignment_right_sc(
+                s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
         return al.drop_local_alignment_right_sc(s, t, c.band_width, c.max_ed,
                                                 c.max_sc, self.sm)
 
     def _local_left_sc(self, s, t):
         c = self.cfg
+        na = self.native
         if self.align_type == EDIT_ALIGNMENT:
+            if na is not None:
+                return na.edit_local_alignment_left_sc(
+                    s, t, c.band_width, c.max_ed, c.max_sc)
             return al.edit_local_alignment_left_sc(s, t, c.band_width,
                                                    c.max_ed, c.max_sc)
+        if na is not None:
+            return na.drop_local_alignment_left_sc(
+                s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
         return al.drop_local_alignment_left_sc(s, t, c.band_width, c.max_ed,
                                                c.max_sc, self.sm)
 
     def _local_right(self, s, t):
         c = self.cfg
-        ed, indel, score = al.local_alignment_right(s, t, c.band_width,
-                                                    c.max_ed, c.max_sc)
-        return ed, indel, score
+        if self.native is not None:
+            return self.native.local_alignment_right(s, t, c.band_width,
+                                                     c.max_ed, c.max_sc)
+        return al.local_alignment_right(s, t, c.band_width, c.max_ed,
+                                        c.max_sc)
 
     def _local_left(self, s, t):
         c = self.cfg
-        ed, indel, score = al.local_alignment_left(s, t, c.band_width,
-                                                   c.max_ed, c.max_sc)
-        return ed, indel, score
+        if self.native is not None:
+            return self.native.local_alignment_left(s, t, c.band_width,
+                                                    c.max_ed, c.max_sc)
+        return al.local_alignment_left(s, t, c.band_width, c.max_ed,
+                                       c.max_sc)
+
+    def _one_side(self, s, t, w):
+        if self.native is not None:
+            return self.native.global_one_side_banded_alignment(s, t, w)
+        return al.global_one_side_banded_alignment(s, t, w)
 
     # --- middle edit distance along a chain (extend.cpp:878-920) ---
     def calc_middle_ed(self, chain, edth: int, qseq: np.ndarray,
@@ -171,13 +202,13 @@ class TransExtension:
                     rseq = self.genome.get(rspos, rlen)
                     if rseq is None:
                         rseq = np.zeros(0, dtype=np.int8)
-                    mid_err += al.global_one_side_banded_alignment(
+                    mid_err += self._one_side(
                         qseq[qspos:qspos + qlen], rseq, diff)
                 elif -c.band_width <= diff < 0:
                     rseq = self.genome.get(rspos, rlen)
                     if rseq is None:
                         rseq = np.zeros(0, dtype=np.int8)
-                    mid_err += al.global_one_side_banded_alignment(
+                    mid_err += self._one_side(
                         rseq, qseq[qspos:qspos + qlen], -diff)
                 if mid_err > edth:
                     return edth + 1
