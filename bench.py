@@ -123,6 +123,9 @@ def main():
         f"setup={setup_s:.1f}s warm={warm_s:.1f}s map={map_s:.1f}s circ={circ_s:.1f}s "
         f"CONCRD={n_conc} BSJ={n_bsj_reads} events={n_events} "
         f"(true events={len(truth)})\n")
+    if os.environ.get("CIRCMINER_TIMING"):
+        from circminer_tpu.utils.timing import GLOBAL_TIMER
+        sys.stderr.write(GLOBAL_TIMER.report() + "\n")
 
     print(json.dumps({
         "metric": "pe_reads_per_sec_chip_map_call",

@@ -123,8 +123,8 @@ def run_search(args, cfg: Config) -> int:
         if args.device == "tpu":
             from .pipeline.device_pipeline import DeviceMappingPipeline
             pipe = DeviceMappingPipeline(db, gi, cfg)
-            n = pipe.map_stream(read_pairs(args.seq1, args.seq2, cfg),
-                                out, remain, conloc)
+            n = pipe.map_stream_all_contigs(
+                read_pairs(args.seq1, args.seq2, cfg), out, remain, conloc)
         else:
             mappers = [
                 Mapper(db, c, gi.contigs[c].codes, cfg,

@@ -108,9 +108,12 @@ def build_contig_index(codes: np.ndarray, name: str, cfg: Config) -> ContigIndex
     hv, cv, pos = hv[order], cv[order], pos[order]
 
     n_buckets = 1 << (2 * w)
-    counts = np.bincount(hv, minlength=n_buckets)
+    # hv is sorted; per-bucket offsets via one bounded searchsorted per
+    # bucket boundary would be O(4^w log n) — bincount + int32 cumsum is
+    # faster and fits (a contig holds <= 1.1G < 2^31 entries)
+    counts = np.bincount(hv, minlength=n_buckets).astype(np.int32)
     bucket_start = np.zeros(n_buckets + 1, dtype=np.int32)
-    np.cumsum(counts, out=bucket_start[1:])
+    bucket_start[1:] = np.cumsum(counts, dtype=np.int32)
 
     return ContigIndex(
         name=name,

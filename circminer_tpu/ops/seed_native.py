@@ -1,0 +1,115 @@
+"""ctypes bindings for the native batched seed lookup
+(native/lookup_kernels.cpp).
+
+The k-mer index stays in host RAM and a whole read batch is resolved in one
+multithreaded C++ call — the host half of the hybrid seeding design: lookup
+is a memory-latency pointer workload (the reference's getCandidates +
+checksum bisect, HashTable.c:1093-1098 / match_read.cpp:54-110) that CPUs
+do well, while the TPU runs the batched chain DP over the gathered seed
+tensors.  The pure-device lookup path (ops/seed.py) remains available for
+HBM-resident index deployments.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "native", "lookup_kernels.cpp")
+_LIB = os.path.join(_HERE, "..", "native", "liblookup.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        src_m = os.path.getmtime(_SRC)
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_m:
+            return True
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+               _SRC, "-o", _LIB]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except Exception as e:  # pragma: no cover
+        sys.stderr.write(f"[seed_native] build failed ({e}); "
+                         "using numpy fallback\n")
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_LIB)
+    i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    ci = ctypes.c_int32
+    lib.batch_lookup.argtypes = [i8p, i32p, ci, ci, i32p, i16p,
+                                 ci, ci, ci, ci,
+                                 i32p, i32p, i32p, i32p, ci]
+    lib.batch_lookup.restype = None
+    lib.batch_gather.argtypes = [i32p, i32p, i32p, ci, ci, ci, i32p, ci]
+    lib.batch_gather.restype = None
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _nthreads() -> int:
+    return max(1, (os.cpu_count() or 1) - 1)
+
+
+class NativeSeeder:
+    """Batched host lookup against one contig's index."""
+
+    def __init__(self, ci, cfg):
+        self.lib = _load()
+        if self.lib is None:
+            raise RuntimeError("native lookup library unavailable")
+        self.ci = ci
+        self.cfg = cfg
+        self.bucket_start = np.ascontiguousarray(ci.bucket_start,
+                                                 dtype=np.int32)
+        self.entry_checksum = np.ascontiguousarray(ci.entry_checksum,
+                                                   dtype=np.int16)
+        self.entry_pos = np.ascontiguousarray(ci.entry_pos, dtype=np.int32)
+
+    def lookup(self, reads: np.ndarray, lens: np.ndarray):
+        """reads [B, L] int8, lens [B] int32 ->
+        (qpos, start, cnt) int32 [B, NL] + high int32 [B]."""
+        cfg = self.cfg
+        B, L = reads.shape
+        NL = cfg.n_kmer_lists
+        qpos = np.empty((B, NL), dtype=np.int32)
+        start = np.empty((B, NL), dtype=np.int32)
+        cnt = np.empty((B, NL), dtype=np.int32)
+        high = np.empty(B, dtype=np.int32)
+        self.lib.batch_lookup(
+            np.ascontiguousarray(reads, dtype=np.int8),
+            np.ascontiguousarray(lens, dtype=np.int32),
+            B, L, self.bucket_start, self.entry_checksum,
+            cfg.kmer, cfg.checksum_len, NL, cfg.seed_lim,
+            qpos, start, cnt, high, _nthreads())
+        return qpos, start, cnt, high
+
+    def gather(self, start: np.ndarray, cnt: np.ndarray, cap: int):
+        """start/cnt int32 [R, NL] -> positions int32 [R, NL, cap]."""
+        R, NL = start.shape
+        pos = np.empty((R, NL, cap), dtype=np.int32)
+        self.lib.batch_gather(
+            self.entry_pos,
+            np.ascontiguousarray(start, dtype=np.int32),
+            np.ascontiguousarray(cnt, dtype=np.int32),
+            R, NL, cap, pos, _nthreads())
+        return pos
