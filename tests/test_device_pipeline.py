@@ -60,3 +60,37 @@ def test_device_pipeline_matches_host(tmp_path):
                 (i, CATEGORY_NAMES[h.type], CATEGORY_NAMES[d.type],
                  (h.spos_r1, d.spos_r1)))
     assert not mismatches, mismatches
+
+
+def test_device_chain_exec_matches_native(tmp_path):
+    """The jax chain-DP executor and the native C++ executor agree on final
+    read states (same genome/read set, both against the host oracle rules)."""
+    rng = np.random.default_rng(13)
+    g = make_genome(rng, length=50_000, n_genes=3)
+    ref = str(tmp_path / "ref.fa")
+    gtf = str(tmp_path / "ref.gtf")
+    g.write_fasta(ref)
+    g.write_gtf(gtf)
+    cfg = Config(kmer=20, max_read_len=100)
+    gp = GenomePacker(ref)
+    contigs, info = gp.pack_genome()
+    gi = build_genome_index(contigs, cfg)
+    db = AnnotationDB.from_gtf(gtf, info, 1, cfg,
+                               contig_lengths=[len(c) for c in contigs])
+    reads, _ = simulate_reads(rng, g, 20, 20)
+
+    res = {}
+    for exec_ in ("native", "device"):
+        pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=64,
+                                     chain_exec=exec_)
+        pairs = [make_rec(r.r1, r.r2, cfg) for r in reads]
+        pipe.map_stream(iter(pairs))
+        res[exec_] = [p[0].mr for p in pairs]
+
+    mismatches = []
+    for i, (h, d) in enumerate(zip(res["native"], res["device"])):
+        if (h.type, h.spos_r1, h.epos_r1, h.ed_r1, h.tlen) != \
+                (d.type, d.spos_r1, d.epos_r1, d.ed_r1, d.tlen):
+            mismatches.append((i, CATEGORY_NAMES[h.type],
+                               CATEGORY_NAMES[d.type]))
+    assert not mismatches, mismatches
