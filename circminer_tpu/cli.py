@@ -113,6 +113,31 @@ def run_search(args, cfg: Config) -> int:
     fmt = {SAMFORMAT: "sam", PAMFORMAT: "pam"}.get(cfg.report_mapping)
     last_round = n_contigs
 
+    if not cfg.paired_end:
+        # single-end (filter.cpp:86-121; circminer.cpp:399-402). No circ
+        # stage: back-splice evidence requires a paired full mate.
+        from .io.fastq import FastqReader
+        out = SamOutput(args.output, fmt, info)
+        mappers = [
+            Mapper(db, c, gi.contigs[c].codes, cfg,
+                   make_host_seeder(gi.contigs[c], cfg))
+            for c in range(n_contigs)
+        ]
+        n = 0
+        for rec in FastqReader(args.seq, cfg):
+            for c, mapper in enumerate(mappers):
+                state = mapper.process_read_se(rec)
+                if cfg.scan_level == 0 and state == CONCRD:
+                    break
+            if fmt == "sam":
+                out.write_sam_se(rec)
+            elif fmt == "pam":
+                out.write_pam_se(rec)
+            n += 1
+        out.close()
+        print(f"[INFO] SE mapping done: {n} reads", file=sys.stderr)
+        return 0
+
     if cfg.stage != 1:
         out = SamOutput(args.output, fmt, info)
         remain = RemainWriter(args.output, last_round)

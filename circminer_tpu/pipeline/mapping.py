@@ -231,6 +231,52 @@ class Mapper:
         mr.update_type(new_type)
         return mr.type
 
+    # --- SE read pipeline (filter.cpp:86-121) ---
+    def process_read_se(self, rec: ReadRecord, chains2=None) -> int:
+        """Single-end: extend every forward chain, then every RC chain,
+        short-circuiting on the first CONCRD; otherwise the best (minimum)
+        category across all extensions."""
+        if chains2 is None:
+            fc, _ = self.get_best_chains(rec.seq)
+            bc, _ = self.get_best_chains(rec.rcseq)
+        else:
+            (fc, _), (bc, _) = chains2
+        min_ret = ORPHAN
+        for ch in fc:
+            mm = MatchedMate.default(self.cfg.max_ed)
+            ex_ret = self.ext.extend_chain_both_sides(
+                ch, rec.seq, rec.seq_len, mm, 1)
+            if ex_ret == CONCRD:
+                self._record_se(rec, mm, True)
+                return CONCRD
+            min_ret = min(ex_ret, min_ret)
+        for ch in bc:
+            mm = MatchedMate.default(self.cfg.max_ed)
+            ex_ret = self.ext.extend_chain_both_sides(
+                ch, rec.rcseq, rec.seq_len, mm, -1)
+            if ex_ret == CONCRD:
+                self._record_se(rec, mm, False)
+                return CONCRD
+            min_ret = min(ex_ret, min_ret)
+        return min_ret
+
+    def _record_se(self, rec: ReadRecord, mm: MatchedMate, forward: bool):
+        """Store the successful SE mate into rec.mr so SAM output has
+        chr/pos/ed (the reference leaves rec->mr defaults in SE mode;
+        we populate it — strictly more informative output)."""
+        cs = get_shift(self.db.con2chr, self.contig, mm.spos)
+        mr = rec.mr
+        mr.type = CONCRD
+        mr.chr_r1 = cs.contig
+        mr.spos_r1 = mm.spos - cs.shift
+        mr.epos_r1 = mm.epos - cs.shift
+        mr.mlen_r1 = mm.matched_len
+        mr.qspos_r1 = mm.qspos
+        mr.qepos_r1 = mm.qepos
+        mr.ed_r1 = mm.left_ed + mm.middle_ed + mm.right_ed
+        mr.r1_forward = forward
+        mr.contig_num = self.contig
+
     # --- PE read pipeline (filter.cpp:124-241) ---
     def process_read_pe(self, rec1: ReadRecord, rec2: ReadRecord,
                         chains4=None) -> int:

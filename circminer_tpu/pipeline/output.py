@@ -82,6 +82,32 @@ class SamOutput:
         else:
             self.fh.write(f"{rec1.rname}" + "\t*" * 21 + f"\t{mr.type}\n")
 
+    # output.cpp:95-116, 245-256
+    def write_sam_se(self, rec: ReadRecord):
+        mr = rec.mr
+        flag = set_flag_pe(mr, True)
+        if flag & RREVER:
+            s, q = decode_seq(rec.rcseq), rec.qual[::-1]
+        else:
+            s, q = decode_seq(rec.seq), rec.qual
+        rname = mr.chr_r1 if not (flag & RUNMAP) else "*"
+        pos = mr.spos_r1 if not (flag & RUNMAP) else 0
+        self.fh.write(f"{rec.rname}\t{flag}\t{rname}\t{pos}\t255\t*\t"
+                      f"*\t0\t0\t{s}\t{q}\n")
+
+    # write_pam_rec_se is a stub in the reference (output.cpp:258-260);
+    # we emit the mapped-mate half of the PE PAM record instead.
+    def write_pam_se(self, rec: ReadRecord):
+        mr = rec.mr
+        if _MAPPED_TYPES(mr.type):
+            r1d = "+" if mr.r1_forward else "-"
+            self.fh.write(
+                f"{rec.rname}\t{mr.chr_r1}\t{mr.spos_r1}\t{mr.epos_r1}\t"
+                f"{mr.mlen_r1}\t{mr.qspos_r1}\t{mr.qepos_r1}\t{r1d}\t"
+                f"{mr.ed_r1}\t{mr.type}\n")
+        else:
+            self.fh.write(f"{rec.rname}" + "\t*" * 9 + f"\t{mr.type}\n")
+
     # output.cpp:151-278
     def write_sam_pe(self, rec1: ReadRecord, rec2: ReadRecord):
         mr = rec1.mr
