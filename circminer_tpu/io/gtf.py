@@ -16,7 +16,7 @@ Mirrors GTFParser::load_gtf (reference: src/gene_annotation.cpp:191-399):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 
@@ -93,6 +93,36 @@ def _parse_attrs(attr_field: str) -> Dict[str, str]:
         if len(toks) >= 2:
             out[toks[0]] = toks[1]
     return out
+
+
+@dataclasses.dataclass
+class GtfRecord:
+    """One raw GTF feature line (for eval tooling; gene_annotation.cpp
+    parse_gtf_rec:102-143 analog without the contig mapping)."""
+    chrom: str
+    source: str
+    feature: str
+    start: int
+    end: int
+    strand: str
+    gid: str
+    tid: str
+    attrs: Dict[str, str]
+
+
+def parse_gtf_records(path: str) -> "Iterator[GtfRecord]":
+    """Stream raw GTF records (gene/transcript/exon/...)."""
+    with open(path) as f:
+        for line in f:
+            if not line.strip() or line.startswith("#"):
+                continue
+            t = line.rstrip("\n").split("\t")
+            if len(t) < 9:
+                continue
+            attrs = _parse_attrs(t[8])
+            yield GtfRecord(t[0], t[1], t[2], int(t[3]), int(t[4]), t[6],
+                            attrs.get("gene_id", ""),
+                            attrs.get("transcript_id", ""), attrs)
 
 
 def load_gtf(path: str, contig_info: List[ContigLen], n_contigs: int,
