@@ -136,6 +136,15 @@ class DeviceMappingPipeline:
                 self.chainers.append(NativeChainer(db.contigs[c], cfg))
             else:
                 self.chainers.append(None)
+        # native per-read finish engine (extension + categories in C++);
+        # None -> python orchestration fallback
+        self.filters = []
+        for c, ci in enumerate(gi.contigs):
+            try:
+                from ..ops.filter_native import NativeFilter
+                self.filters.append(NativeFilter(db, c, ci.codes, cfg))
+            except Exception:
+                self.filters.append(None)
         self.n_lists = cfg.n_kmer_lists
 
     # ---- stage 1: encode + host lookup ----
@@ -154,7 +163,7 @@ class DeviceMappingPipeline:
         with T.phase("host_lookup"):
             qpos, start, cnt, high = st.seeder.lookup(seqs, lens)
         return dict(recs=recs, contig=contig, qpos=qpos, start=start,
-                    cnt=cnt, high=high, lens=lens)
+                    cnt=cnt, high=high, lens=lens, seqs=seqs)
 
     # ---- stage 2: bucket by occupancy, gather, dispatch chain DP ----
     def dispatch_chain(self, lf):
@@ -236,7 +245,8 @@ class DeviceMappingPipeline:
                     pos_b, cnt_h[rows], qpos_h[rows], lf["lens"][rows])
             parts.append((rows, rp, qp, cl, sc, n))
         return dict(recs=lf["recs"], contig=lf["contig"], parts=parts,
-                    cnt=cnt_h, qpos=qpos_h, hh=lf["high"], native=True)
+                    cnt=cnt_h, qpos=qpos_h, hh=lf["high"], native=True,
+                    seqs=lf["seqs"], lens=lf["lens"])
 
     # ---- stage 3: fetch chains, run host mapping ----
     def finish(self, cf) -> None:
@@ -279,6 +289,36 @@ class DeviceMappingPipeline:
         n = len(recs)
         hh_h = cf["hh"]
         k = cfg.kmer
+        nf = self.filters[cf["contig"]]
+        if nf is not None:
+            # fully native finish: extension + pairing + categories in C++
+            from ..ops.filter_native import NativeFilter
+            R = 4 * n
+            C = cfg.max_chain_len
+            NL = self.n_lists
+            with T.phase("filter_assemble"):
+                rp_f = np.zeros((R, C, NL), np.int32)
+                qp_f = np.zeros((R, C, NL), np.int32)
+                cl_f = np.zeros((R, C), np.int32)
+                sc_f = np.zeros((R, C), np.float64)
+                cn_f = np.zeros(R, np.int32)
+                for rows, rp, qp, cl, sc, cn in cf["parts"]:
+                    rp_f[rows] = rp
+                    qp_f[rows] = qp
+                    cl_f[rows] = cl
+                    sc_f[rows] = sc
+                    cn_f[rows] = cn
+                mr_state = np.ascontiguousarray(np.stack([
+                    NativeFilter.mr_to_state(r1.mr, nf.chr_names)
+                    for r1, _ in recs]))
+            with T.phase("filter_native"):
+                nf.filter_pe(cf["seqs"], cf["lens"], rp_f, qp_f, cl_f, sc_f,
+                             cn_f, hh_h, mr_state)
+            with T.phase("filter_writeback"):
+                for i, (r1, _) in enumerate(recs):
+                    NativeFilter.state_to_mr(mr_state[i], r1.mr,
+                                             nf.chr_names)
+            return
         chains_out = [None] * (4 * n)
         for rows, rp, qp, cl, sc, cn in cf["parts"]:
             for ri, r in enumerate(rows):
