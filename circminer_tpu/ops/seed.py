@@ -103,14 +103,13 @@ def _bisect(keys: jnp.ndarray, target: jnp.ndarray, lo: jnp.ndarray,
     return lo_f
 
 
-@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim"))
-def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
-                        bucket_start: jnp.ndarray, entry_checksum: jnp.ndarray,
-                        *, k: int, cs_len: int, n_slots: int, seed_lim: int):
-    """Batched seed lookup: [B, L] int8 reads -> per-slot (start, count, hh).
+def _kmer_hash_parts(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
+                     *, k: int, cs_len: int, n_slots: int):
+    """Shared hash math for all device lookups.
 
-    Only even slots are populated (odd slots are the reference's reserved
-    overlapping-kmer slots and stay empty).
+    Returns (hv, cv, ok, qpos, starts) over the n_nonov = (n_slots+1)//2
+    non-overlapping k-mer lists: int32 window hash [B, NL], int32 checksum
+    [B, NL], validity mask [B, NL], and per-list query offsets.
     """
     B, L = read_codes.shape
     n_nonov = (n_slots + 1) // 2
@@ -141,6 +140,24 @@ def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
     else:
         cv = jnp.zeros_like(hv)
 
+    qpos = jnp.where(in_read, starts[None, :], -1).astype(jnp.int32)
+    return hv, cv, ok, qpos, starts
+
+
+@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim"))
+def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
+                        bucket_start: jnp.ndarray, entry_checksum: jnp.ndarray,
+                        *, k: int, cs_len: int, n_slots: int, seed_lim: int):
+    """Batched seed lookup: [B, L] int8 reads -> per-slot (start, count, hh).
+
+    Only even slots are populated (odd slots are the reference's reserved
+    overlapping-kmer slots and stay empty).
+    """
+    B, L = read_codes.shape
+    n_nonov = (n_slots + 1) // 2
+    hv, cv, ok, qpos, starts = _kmer_hash_parts(
+        read_codes, read_lens, k=k, cs_len=cs_len, n_slots=n_slots)
+
     hv_safe = jnp.where(ok, hv, 0)
     lo = bucket_start[hv_safe]
     hi = bucket_start[hv_safe + 1]
@@ -161,13 +178,61 @@ def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
         out = jnp.full((B, n_slots), fill, v.dtype)
         return out.at[:, ::2].set(v)
 
-    qpos = jnp.where(in_read, starts[None, :], -1).astype(jnp.int32)
     return (
         strided(qpos, jnp.int32(-1)),
         strided(left.astype(jnp.int32), jnp.int32(0)),
         strided(cnt, jnp.int32(0)),
         strided(high, False),
     )
+
+
+def lookup_gather_sharded_local(read_codes: jnp.ndarray,
+                                read_lens: jnp.ndarray,
+                                local_bucket_start: jnp.ndarray,
+                                local_checksum: jnp.ndarray,
+                                local_pos: jnp.ndarray,
+                                bucket_lo: jnp.ndarray,
+                                *, k: int, cs_len: int, n_slots: int,
+                                seed_lim: int, cap: int):
+    """One shard's contribution to a bucket-sharded seed lookup (the TP
+    analog of the mrsFAST index, SURVEY §5: the full-GRCh38 index exceeds
+    one chip's HBM, so hash buckets are sharded across chips and every chip
+    answers only the queries whose hash it owns).
+
+    reads are the FULL (replicated / all-gathered) query batch; the index
+    arrays are this shard's contiguous bucket slice (see
+    parallel.mesh.shard_index_arrays).  Results are zero for queries owned
+    by other shards, so the caller combines contributions with
+    ``lax.psum`` over the mesh axis.
+
+    Returns (qpos [B, NL] — identical on every shard, pos [B, NL, cap],
+    cnt [B, NL], high [B, NL] int32) over non-overlapping k-mer lists.
+    """
+    hv, cv, ok, qpos, _ = _kmer_hash_parts(
+        read_codes, read_lens, k=k, cs_len=cs_len, n_slots=n_slots)
+
+    nbd = local_bucket_start.shape[0] - 1
+    rel = hv - bucket_lo
+    mine = ok & (rel >= 0) & (rel < nbd)
+    rel_safe = jnp.where(mine, rel, 0)
+    lo = local_bucket_start[rel_safe]
+    hi = jnp.where(mine, local_bucket_start[rel_safe + 1], lo)
+
+    n_local = local_checksum.shape[0]
+    iters = max(1, int(np.ceil(np.log2(max(2, n_local + 1)))) + 1)
+    cs32 = local_checksum.astype(jnp.int32)
+    left = _bisect(cs32, cv, lo, hi, side_right=False, iters=iters)
+    right = _bisect(cs32, cv, lo, hi, side_right=True, iters=iters)
+
+    cnt = (right - left).astype(jnp.int32)
+    high = (cnt > seed_lim) & mine
+    cnt = jnp.where(mine & ~high, cnt, 0)
+
+    offs = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.clip(left[..., None] + offs, 0, n_local - 1)
+    pos = local_pos[idx].astype(jnp.int32)
+    mask = offs < jnp.minimum(cnt, cap)[..., None]
+    return qpos, jnp.where(mask, pos, 0), cnt, high.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cap",))

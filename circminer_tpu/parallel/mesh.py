@@ -20,6 +20,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
+
+def _shard_map(f, *, mesh, in_specs, out_specs):
+    """shard_map across jax versions (jax.shard_map since 0.8; the
+    experimental module spells the no-replication-check flag check_rep)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
 from ..config import Config
 
 
@@ -81,17 +92,123 @@ def make_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int, cs_len: int,
     out_spec = (P("dp", None, None), P("dp", None, None),
                 P("dp", None, None), P("dp"), P())
 
-    from jax.experimental.shard_map import shard_map
-
     def wrapped(*args):
         def inner(*a):
             dp10, back, pos_b, hh, tot = step(*a)
             tot = jax.lax.psum(tot, "dp")
             return dp10, back, pos_b, hh, tot
-        return shard_map(inner, mesh=mesh, in_specs=in_spec,
-                         out_specs=out_spec, check_rep=False)(*args)
+        return _shard_map(inner, mesh=mesh, in_specs=in_spec,
+                          out_specs=out_spec)(*args)
 
     return jax.jit(wrapped)
+
+
+def shard_index_arrays(ci, n_shards: int):
+    """Split a ContigIndex's bucket space into ``n_shards`` contiguous
+    ranges for HBM sharding (SURVEY §5: the full-GRCh38 index payload
+    exceeds one chip's HBM; shard hash buckets across chips).
+
+    Returns numpy arrays stackable on a leading shard axis:
+      bucket_start_sh int32 [D, NBd+1]  (offsets local to the shard's slice)
+      checksum_sh     int16 [D, E_max]
+      pos_sh          int32 [D, E_max]
+      bucket_lo       int32 [D]         (first global bucket owned)
+    Trailing buckets of the last shard and entry tails are padding (empty
+    ranges / never-searched slots).
+    """
+    nb = ci.bucket_start.shape[0] - 1
+    nbd = -(-nb // n_shards)  # ceil
+    slices = []
+    e_max = 1
+    for d in range(n_shards):
+        lo_b = min(d * nbd, nb)
+        hi_b = min(lo_b + nbd, nb)
+        e_lo = int(ci.bucket_start[lo_b])
+        e_hi = int(ci.bucket_start[hi_b])
+        lbs = (ci.bucket_start[lo_b:hi_b + 1].astype(np.int64)
+               - e_lo).astype(np.int32)
+        if lbs.shape[0] < nbd + 1:  # pad short tail with empty buckets
+            pad = np.full(nbd + 1 - lbs.shape[0],
+                          lbs[-1] if lbs.size else 0, np.int32)
+            lbs = np.concatenate([lbs, pad])
+        slices.append((lbs, ci.entry_checksum[e_lo:e_hi],
+                       ci.entry_pos[e_lo:e_hi], lo_b))
+        e_max = max(e_max, e_hi - e_lo)
+
+    D = n_shards
+    bucket_start_sh = np.stack([s[0] for s in slices])
+    checksum_sh = np.zeros((D, e_max), np.int16)
+    pos_sh = np.zeros((D, e_max), np.int32)
+    for d, (_, cs, ps, _) in enumerate(slices):
+        checksum_sh[d, :cs.shape[0]] = cs
+        pos_sh[d, :ps.shape[0]] = ps
+    bucket_lo = np.array([s[3] for s in slices], np.int32)
+    return bucket_start_sh, checksum_sh, pos_sh, bucket_lo
+
+
+def make_index_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int,
+                                cs_len: int, n_slots: int, seed_lim: int,
+                                seg_pad: int, seed_cap: int,
+                                shard_batch: int):
+    """Jitted mapping step with BOTH reads and the k-mer index sharded over
+    the mesh (reads dp + index "tensor parallel" on the same axis):
+
+      - every chip holds 1/D of the reads and 1/D of the hash buckets,
+      - queries are all-gathered so each chip answers the k-mers whose
+        window hash falls in its bucket range (the seed-query exchange of
+        SURVEY §5), contributions combined with psum,
+      - each chip then chains only its own read rows against the
+        replicated annotation arrays.
+
+    ``shard_batch`` is the per-shard read count (global B = D*shard_batch).
+    """
+    from ..ops.seed import lookup_gather_sharded_local
+    from ..ops.chain import chain_batch_device
+
+    def inner(reads, lens, lbs, lcs, lpos, blo,
+              nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+              iv_max_next, iv_nseg, seg_end, seg_next):
+        # [Bd, L] shard -> full query batch on every chip (rides ICI)
+        reads_g = jax.lax.all_gather(reads, "dp", axis=0, tiled=True)
+        lens_g = jax.lax.all_gather(lens, "dp", axis=0, tiled=True)
+        qpos, pos, cnt, high = lookup_gather_sharded_local(
+            reads_g, lens_g, lbs[0], lcs[0], lpos[0], blo[0],
+            k=k, cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim,
+            cap=seed_cap)
+        # owner-computes + psum = the all-to-all result exchange
+        pos = jax.lax.psum(pos, "dp")
+        cnt = jax.lax.psum(cnt, "dp")
+        high = jax.lax.psum(high, "dp")
+        # back to my read rows
+        i = jax.lax.axis_index("dp")
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(
+            a, i * shard_batch, shard_batch, axis=0)
+        pos_m, cnt_m, qpos_m, lens_m = sl(pos), sl(cnt), sl(qpos), sl(lens_g)
+        dp10, back = chain_batch_device(
+            pos_m, cnt_m, jnp.maximum(qpos_m, 0), lens_m,
+            nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+            iv_max_next, iv_nseg, seg_end, seg_next,
+            k=k, max_ed=cfg.max_ed, max_intron=cfg.max_intron,
+            seg_pad=seg_pad)
+        return dp10, back, pos_m, cnt_m, sl(high).sum(axis=1)
+
+    in_spec = (P("dp", None), P("dp"),
+               P("dp", None), P("dp", None), P("dp", None), P("dp"),
+               P(), P(), P(), P(), P(), P(), P(),
+               P(None, None), P(None, None))
+    out_spec = (P("dp", None, None), P("dp", None, None),
+                P("dp", None, None), P("dp", None), P("dp"))
+    return jax.jit(_shard_map(inner, mesh=mesh, in_specs=in_spec,
+                              out_specs=out_spec))
+
+
+def shard_index(mesh: Mesh, ci, axis: str = "dp"):
+    """Device-put a ContigIndex's shard arrays along the mesh axis."""
+    n = mesh.devices.size
+    lbs, lcs, lpos, blo = shard_index_arrays(ci, n)
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    return (put(lbs, P(axis, None)), put(lcs, P(axis, None)),
+            put(lpos, P(axis, None)), put(blo, P(axis)))
 
 
 def merge_bsj_candidates(mesh: Mesh, cand: jnp.ndarray,
@@ -101,15 +218,12 @@ def merge_bsj_candidates(mesh: Mesh, cand: jnp.ndarray,
     the full set; the final grouping/sort happens on host 0
     (replaces the reference's single-process GNU sort,
     process_circ.cpp:179-193)."""
-    from jax.experimental.shard_map import shard_map
-
     def inner(c, n):
         cg = jax.lax.all_gather(c, "dp", axis=0, tiled=False)
         ng = jax.lax.all_gather(n, "dp", axis=0, tiled=False)
         return cg, ng
 
-    return jax.jit(shard_map(
+    return jax.jit(_shard_map(
         inner, mesh=mesh,
         in_specs=(P("dp", None), P("dp")),
-        out_specs=(P(None, None, None), P(None, None)),
-        check_rep=False))(cand, count)
+        out_specs=(P(None, None, None), P(None, None))))(cand, count)
