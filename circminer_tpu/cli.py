@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-P", "--pam", action="store_true")
     p.add_argument("--device", choices=["host", "tpu"], default="host",
                    help="seed+chain compute path (tpu = batched device kernels)")
+    p.add_argument("--mrsfast-format", action="store_true",
+                   help="with --index: also write the reference's mrsFAST "
+                        "binary index format for interop/parity checks")
     return p
 
 
@@ -85,6 +88,12 @@ def run_index(args, cfg: Config) -> int:
     gi = build_genome_index(contigs, cfg)
     save_genome_index(gi, gp.index_fname, compact=cfg.compact_index)
     print(f"[INFO] index written to {gp.index_fname}.npz", file=sys.stderr)
+    if args.mrsfast_format:
+        from .index.mrsfast_format import write_mrsfast_index
+        write_mrsfast_index(gi, gp.index_fname,
+                            full=not cfg.compact_index)
+        print(f"[INFO] mrsFAST-format index written to {gp.index_fname}",
+              file=sys.stderr)
     return 0
 
 
@@ -97,9 +106,15 @@ def run_search(args, cfg: Config) -> int:
     from .pipeline.output import SamOutput
     from .pipeline.circ import ProcessCirc
 
+    import os
     gp = GenomePacker(args.reference)
     info = gp.load_index_info()
-    gi = load_genome_index(gp.index_fname)
+    if os.path.exists(gp.index_fname + ".npz"):
+        gi = load_genome_index(gp.index_fname)
+    else:
+        # fall back to a reference-binary-built mrsFAST index
+        from .index.mrsfast_format import read_mrsfast_index
+        gi = read_mrsfast_index(gp.index_fname)
     cfg = Config(**{**cfg.__dict__, "kmer": gi.kmer})
     n_contigs = GenomePacker.packed_contig_cnt(info)
     print(f"[INFO] loaded index: {n_contigs} contig(s), kmer={gi.kmer}",
