@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mrsfast-format", action="store_true",
                    help="with --index: also write the reference's mrsFAST "
                         "binary index format for interop/parity checks")
+    p.add_argument("--trace-dir",
+                   help="write a jax.profiler (xprof) trace of the search "
+                        "stages here (the reference's 'make profile' analog)")
     return p
 
 
@@ -98,6 +101,23 @@ def run_index(args, cfg: Config) -> int:
 
 
 def run_search(args, cfg: Config) -> int:
+    import contextlib
+    from .io.fasta import GenomePacker, chrloc2conloc
+    from .io.fastq import read_pairs, RemainWriter
+    from .index.build import load_genome_index
+    from .annotation.annotation import AnnotationDB
+    from .pipeline.mapping import Mapper, make_host_seeder
+    from .pipeline.output import SamOutput
+    from .pipeline.circ import ProcessCirc
+    from .utils.timing import device_trace, GLOBAL_TIMER
+
+    trace = (device_trace(args.trace_dir) if args.trace_dir
+             else contextlib.nullcontext())
+    with trace:
+        return _run_search_stages(args, cfg)
+
+
+def _run_search_stages(args, cfg: Config) -> int:
     from .io.fasta import GenomePacker, chrloc2conloc
     from .io.fastq import read_pairs, RemainWriter
     from .index.build import load_genome_index
