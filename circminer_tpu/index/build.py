@@ -6,8 +6,12 @@ sorted by (checksum, position) and binary-searches the checksum range at query
 time (HashTable.c:769-839, match_read.cpp:54-110).
 
 TPU-native layout: one flat, (hash, checksum, position)-sorted entry table per
-contig plus a dense ``bucket_start[4^14 + 1]`` offset array.  Lookup is then a
-pair of gathers and a vectorized binary search — no pointers, fully batched.
+contig with the window hash stored per entry (``entry_hv``).  Lookup is a
+vectorized composite binary search over (hv, checksum) — no pointers, fully
+batched.  A dense ``bucket_start[4^14 + 1]`` offset table was deliberately
+rejected: it costs 1 GiB per contig regardless of genome size and this class
+of host takes tens of seconds just to materialize it, while the composite
+bisect adds only ~log2(n_entries) gather steps on either host or device.
 
 Positions are 1-based (like the reference's ``loc``) and fit int32 since a
 packed contig is at most 1.1 Gbp.
@@ -17,13 +21,13 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
 from ..config import Config, WINDOW_SIZE
 
-INDEX_MAGIC = "circminer-tpu-index-v1"
+INDEX_MAGIC = "circminer-tpu-index-v2"
 
 
 @dataclasses.dataclass
@@ -32,15 +36,33 @@ class ContigIndex:
     name: str                 # contig name ("1", "2", ...)
     length: int               # contig length in bases
     codes: np.ndarray         # int8[length] genome codes (A0 C1 G2 T3 N4)
-    bucket_start: np.ndarray  # int32[4^window + 1] offsets into entries
-                              # (int32 on purpose: a contig holds <= 1.1G
-                              #  entries and TPU jax runs with x64 disabled)
-    entry_checksum: np.ndarray  # int16[n_entries], sorted within bucket
+    entry_hv: np.ndarray      # int32[n_entries] window hash (<= 28 bits),
+                              # ascending; primary sort key
+    entry_checksum: np.ndarray  # int16[n_entries], sorted within hv group
     entry_pos: np.ndarray     # int32[n_entries] 1-based k-mer start positions
+
+    _entry_key: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def n_entries(self) -> int:
         return int(self.entry_pos.shape[0])
+
+    @property
+    def entry_key(self) -> np.ndarray:
+        """int64[n] packed (hv << 16 | checksum) for host searchsorted;
+        built lazily, cached."""
+        if self._entry_key is None:
+            self._entry_key = ((self.entry_hv.astype(np.int64) << 16)
+                               | self.entry_checksum.astype(np.int64))
+        return self._entry_key
+
+    def bucket_range(self, hv: int):
+        """(lo, hi) entry range of one window hash (replaces the dense
+        bucket_start[hv], bucket_start[hv+1] pair)."""
+        lo = int(np.searchsorted(self.entry_hv, hv, side="left"))
+        hi = int(np.searchsorted(self.entry_hv, hv + 1, side="left"))
+        return lo, hi
 
 
 @dataclasses.dataclass
@@ -107,19 +129,11 @@ def build_contig_index(codes: np.ndarray, name: str, cfg: Config) -> ContigIndex
     order = np.lexsort((pos, cv, hv))
     hv, cv, pos = hv[order], cv[order], pos[order]
 
-    n_buckets = 1 << (2 * w)
-    # hv is sorted; per-bucket offsets via one bounded searchsorted per
-    # bucket boundary would be O(4^w log n) — bincount + int32 cumsum is
-    # faster and fits (a contig holds <= 1.1G < 2^31 entries)
-    counts = np.bincount(hv, minlength=n_buckets).astype(np.int32)
-    bucket_start = np.zeros(n_buckets + 1, dtype=np.int32)
-    bucket_start[1:] = np.cumsum(counts, dtype=np.int32)
-
     return ContigIndex(
         name=name,
         length=n,
         codes=np.ascontiguousarray(codes, dtype=np.int8),
-        bucket_start=bucket_start,
+        entry_hv=np.ascontiguousarray(hv, dtype=np.int32),
         entry_checksum=np.ascontiguousarray(cv),
         entry_pos=np.ascontiguousarray(pos),
     )
@@ -150,7 +164,7 @@ def save_genome_index(gi: GenomeIndex, path: str, compact: bool = False) -> None
         payload[f"c{i}_name"] = np.array(ci.name)
         payload[f"c{i}_codes"] = ci.codes
         if not compact:
-            payload[f"c{i}_bucket_start"] = ci.bucket_start
+            payload[f"c{i}_hv"] = ci.entry_hv
             payload[f"c{i}_checksum"] = ci.entry_checksum
             payload[f"c{i}_pos"] = ci.entry_pos
     np.savez_compressed(path, **payload)
@@ -177,7 +191,7 @@ def load_genome_index(path: str) -> GenomeIndex:
                 name=name,
                 length=codes.shape[0],
                 codes=codes,
-                bucket_start=z[f"c{i}_bucket_start"],
+                entry_hv=z[f"c{i}_hv"],
                 entry_checksum=z[f"c{i}_checksum"],
                 entry_pos=z[f"c{i}_pos"],
             ))

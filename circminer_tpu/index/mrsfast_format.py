@@ -184,8 +184,9 @@ def _payload_records(ci: ContigIndex, hvs: np.ndarray,
     head = np.zeros(n_hv, np.int64)
     head[1:] = np.cumsum(wcnt[:-1] + 1)
 
-    e_lo = ci.bucket_start[hvs].astype(np.int64)
-    e_cnt = (ci.bucket_start[hvs + 1] - ci.bucket_start[hvs]).astype(np.int64)
+    e_lo = np.searchsorted(ci.entry_hv, hvs, side="left").astype(np.int64)
+    e_hi = np.searchsorted(ci.entry_hv, hvs + 1, side="left").astype(np.int64)
+    e_cnt = e_hi - e_lo
     rec["info"][head] = e_cnt.astype(np.uint32)
 
     n_e = int(e_cnt.sum())
@@ -270,13 +271,8 @@ def _from_payload(name: str, codes: np.ndarray, w: int, hvs: np.ndarray,
     head[1:] = np.cumsum(wcnt[:-1] + 1)
     e_cnt = rec["info"][head].astype(np.int64)
 
-    n_buckets = 1 << (2 * w)
-    counts = np.zeros(n_buckets, np.int64)
-    counts[hvs] = e_cnt
-    bucket_start = np.zeros(n_buckets + 1, np.int32)
-    bucket_start[1:] = np.cumsum(counts).astype(np.int32)
-
     n_e = int(e_cnt.sum())
+    entry_hv = np.repeat(hvs, e_cnt).astype(np.int32)
     checksum = np.zeros(n_e, np.int16)
     pos = np.zeros(n_e, np.int32)
     if n_e:
@@ -286,5 +282,5 @@ def _from_payload(name: str, codes: np.ndarray, w: int, hvs: np.ndarray,
         checksum[:] = rec["checksum"][src]
         pos[:] = rec["info"][src].astype(np.int32)
     return ContigIndex(name=name, length=codes.shape[0], codes=codes,
-                       bucket_start=bucket_start, entry_checksum=checksum,
+                       entry_hv=entry_hv, entry_checksum=checksum,
                        entry_pos=pos)

@@ -1,13 +1,14 @@
 // Native host-side batched seed lookup for circminer-tpu.
 //
-// The k-mer index (bucket_start offsets + checksum-sorted entry table, see
-// circminer_tpu/index/build.py) lives in host RAM; lookup is a
-// memory-latency-bound pointer workload (hash -> bucket range -> double
-// binary search over checksums), the same access pattern as the reference's
+// The k-mer index ((hv, checksum, pos)-sorted entry table with the window
+// hash stored per entry, see circminer_tpu/index/build.py) lives in host
+// RAM; lookup is a memory-latency-bound pointer workload (composite binary
+// search over (hv, checksum)), the same access pattern as the reference's
 // getCandidates + checksum bisect (src/mrsfast/HashTable.c:1093-1098,
-// src/match_read.cpp:54-110).  One call resolves a whole read batch across
-// std::thread workers; the gathered seed-position tensors then ship to the
-// TPU for the batched chain DP.
+// src/match_read.cpp:54-110) minus the dense bucket table (1 GiB/contig).
+// One call resolves a whole read batch across std::thread workers; the
+// gathered seed-position tensors then ship to the TPU for the batched
+// chain DP.
 //
 // Build: g++ -O3 -shared -fPIC -pthread lookup_kernels.cpp -o liblookup.so
 
@@ -18,12 +19,15 @@
 
 namespace {
 
-// first index in [lo, hi) with key[i] >= (or >) target
-inline int64_t bisect(const int16_t* keys, int64_t lo, int64_t hi,
-                      int16_t target, bool right) {
+// first index in [lo, hi) with (hv[i], cv[i]) >= (or >) (hv_t, cv_t)
+inline int64_t bisect2(const int32_t* hvs, const int16_t* cvs,
+                       int64_t lo, int64_t hi,
+                       int32_t hv_t, int32_t cv_t, bool right) {
     while (lo < hi) {
         int64_t mid = (lo + hi) >> 1;
-        bool go_right = right ? (keys[mid] <= target) : (keys[mid] < target);
+        bool go_right = hvs[mid] < hv_t ||
+            (hvs[mid] == hv_t &&
+             (right ? cvs[mid] <= cv_t : cvs[mid] < cv_t));
         if (go_right) lo = mid + 1; else hi = mid;
     }
     return lo;
@@ -39,8 +43,9 @@ extern "C" {
 // high[b] counts non-overlapping k-mers whose occupancy exceeded seed_lim.
 void batch_lookup(const int8_t* reads, const int32_t* lens,
                   int32_t B, int32_t L,
-                  const int32_t* bucket_start,
+                  const int32_t* entry_hv,
                   const int16_t* entry_checksum,
+                  int64_t n_entries,
                   int32_t k, int32_t cs_len, int32_t NL, int32_t seed_lim,
                   int32_t* qpos, int32_t* start, int32_t* cnt, int32_t* high,
                   int32_t n_threads) {
@@ -74,12 +79,12 @@ void batch_lookup(const int8_t* reads, const int32_t* lens,
                     cv = (cv << 2) | base;
                 }
                 if (!ok) continue;
-                const int64_t lo = bucket_start[hv];
-                const int64_t hi = bucket_start[hv + 1];
-                const int64_t l = bisect(entry_checksum, lo, hi,
-                                         (int16_t)cv, false);
-                const int64_t r = bisect(entry_checksum, l, hi,
-                                         (int16_t)cv, true);
+                const int64_t l = bisect2(entry_hv, entry_checksum,
+                                          0, n_entries,
+                                          (int32_t)hv, cv, false);
+                const int64_t r = bisect2(entry_hv, entry_checksum,
+                                          l, n_entries,
+                                          (int32_t)hv, cv, true);
                 int64_t n = r - l;
                 if (n > seed_lim) { ++hh; n = 0; }
                 *st = (int32_t)l;

@@ -62,8 +62,7 @@ def lookup_read_host(codes: np.ndarray, ci: ContigIndex, cfg: Config):
         if fh >= 0:
             hv = fh >> (2 * cs_len)
             cv = fh & ((1 << (2 * cs_len)) - 1) if cs_len else 0
-            lo = ci.bucket_start[hv]
-            hi = ci.bucket_start[hv + 1]
+            lo, hi = ci.bucket_range(hv)
             sub = ci.entry_checksum[lo:hi]
             l = np.searchsorted(sub, cv, side="left")
             r = np.searchsorted(sub, cv, side="right")
@@ -94,6 +93,38 @@ def _bisect(keys: jnp.ndarray, target: jnp.ndarray, lo: jnp.ndarray,
             go_right = kv <= target
         else:
             go_right = kv < target
+        active = lo_ < hi_
+        lo2 = jnp.where(active & go_right, mid + 1, lo_)
+        hi2 = jnp.where(active & ~go_right, mid, hi_)
+        return lo2, hi2
+
+    lo_f, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo_f
+
+
+def _bisect_hv_cv(entry_hv: jnp.ndarray, entry_cv: jnp.ndarray,
+                  hv: jnp.ndarray, cv: jnp.ndarray,
+                  side_right: bool, iters: int) -> jnp.ndarray:
+    """Composite binary search for (hv, cv) over the full sorted entry
+    table.  Entries are sorted by (hv, checksum); the composite key does not
+    fit int32 (2*kmer bits > 31), so each probe compares the pair.  Replaces
+    the dense bucket_start gather (which cost 1 GiB of host RAM per contig
+    to build — see index/build.py docstring).
+    """
+    n = entry_hv.shape[0]
+    lo = jnp.zeros_like(hv)
+    hi = jnp.full_like(hv, n)
+
+    def body(_, state):
+        lo_, hi_ = state
+        mid = (lo_ + hi_) >> 1
+        midc = jnp.clip(mid, 0, n - 1)
+        hv_e = entry_hv[midc]
+        cv_e = entry_cv[midc].astype(jnp.int32)
+        if side_right:
+            go_right = (hv_e < hv) | ((hv_e == hv) & (cv_e <= cv))
+        else:
+            go_right = (hv_e < hv) | ((hv_e == hv) & (cv_e < cv))
         active = lo_ < hi_
         lo2 = jnp.where(active & go_right, mid + 1, lo_)
         hi2 = jnp.where(active & ~go_right, mid, hi_)
@@ -146,7 +177,7 @@ def _kmer_hash_parts(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim"))
 def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
-                        bucket_start: jnp.ndarray, entry_checksum: jnp.ndarray,
+                        entry_hv: jnp.ndarray, entry_checksum: jnp.ndarray,
                         *, k: int, cs_len: int, n_slots: int, seed_lim: int):
     """Batched seed lookup: [B, L] int8 reads -> per-slot (start, count, hh).
 
@@ -158,15 +189,14 @@ def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
     hv, cv, ok, qpos, starts = _kmer_hash_parts(
         read_codes, read_lens, k=k, cs_len=cs_len, n_slots=n_slots)
 
-    hv_safe = jnp.where(ok, hv, 0)
-    lo = bucket_start[hv_safe]
-    hi = bucket_start[hv_safe + 1]
+    hv_safe = jnp.where(ok, hv, -1)
 
-    n_entries = entry_checksum.shape[0]
+    n_entries = entry_hv.shape[0]
     iters = max(1, int(np.ceil(np.log2(max(2, n_entries + 1)))) + 1)
-    cs32 = entry_checksum.astype(jnp.int32)
-    left = _bisect(cs32, cv, lo, hi, side_right=False, iters=iters)
-    right = _bisect(cs32, cv, lo, hi, side_right=True, iters=iters)
+    left = _bisect_hv_cv(entry_hv, entry_checksum, hv_safe, cv,
+                         side_right=False, iters=iters)
+    right = _bisect_hv_cv(entry_hv, entry_checksum, hv_safe, cv,
+                          side_right=True, iters=iters)
 
     cnt = (right - left).astype(jnp.int32)
     cnt = jnp.where(ok, cnt, 0)
@@ -188,10 +218,11 @@ def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
 
 def lookup_gather_sharded_local(read_codes: jnp.ndarray,
                                 read_lens: jnp.ndarray,
-                                local_bucket_start: jnp.ndarray,
+                                local_hv: jnp.ndarray,
                                 local_checksum: jnp.ndarray,
                                 local_pos: jnp.ndarray,
                                 bucket_lo: jnp.ndarray,
+                                bucket_hi: jnp.ndarray,
                                 *, k: int, cs_len: int, n_slots: int,
                                 seed_lim: int, cap: int):
     """One shard's contribution to a bucket-sharded seed lookup (the TP
@@ -211,18 +242,15 @@ def lookup_gather_sharded_local(read_codes: jnp.ndarray,
     hv, cv, ok, qpos, _ = _kmer_hash_parts(
         read_codes, read_lens, k=k, cs_len=cs_len, n_slots=n_slots)
 
-    nbd = local_bucket_start.shape[0] - 1
-    rel = hv - bucket_lo
-    mine = ok & (rel >= 0) & (rel < nbd)
-    rel_safe = jnp.where(mine, rel, 0)
-    lo = local_bucket_start[rel_safe]
-    hi = jnp.where(mine, local_bucket_start[rel_safe + 1], lo)
+    mine = ok & (hv >= bucket_lo) & (hv < bucket_hi)
+    hv_safe = jnp.where(mine, hv, -1)
 
-    n_local = local_checksum.shape[0]
+    n_local = local_hv.shape[0]
     iters = max(1, int(np.ceil(np.log2(max(2, n_local + 1)))) + 1)
-    cs32 = local_checksum.astype(jnp.int32)
-    left = _bisect(cs32, cv, lo, hi, side_right=False, iters=iters)
-    right = _bisect(cs32, cv, lo, hi, side_right=True, iters=iters)
+    left = _bisect_hv_cv(local_hv, local_checksum, hv_safe, cv,
+                         side_right=False, iters=iters)
+    right = _bisect_hv_cv(local_hv, local_checksum, hv_safe, cv,
+                          side_right=True, iters=iters)
 
     cnt = (right - left).astype(jnp.int32)
     high = (cnt > seed_lim) & mine

@@ -53,6 +53,7 @@ def _load():
     i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
     ci = ctypes.c_int32
     lib.batch_lookup.argtypes = [i8p, i32p, ci, ci, i32p, i16p,
+                                 ctypes.c_int64,
                                  ci, ci, ci, ci,
                                  i32p, i32p, i32p, i32p, ci]
     lib.batch_lookup.restype = None
@@ -79,8 +80,7 @@ class NativeSeeder:
             raise RuntimeError("native lookup library unavailable")
         self.ci = ci
         self.cfg = cfg
-        self.bucket_start = np.ascontiguousarray(ci.bucket_start,
-                                                 dtype=np.int32)
+        self.entry_hv = np.ascontiguousarray(ci.entry_hv, dtype=np.int32)
         self.entry_checksum = np.ascontiguousarray(ci.entry_checksum,
                                                    dtype=np.int16)
         self.entry_pos = np.ascontiguousarray(ci.entry_pos, dtype=np.int32)
@@ -98,7 +98,8 @@ class NativeSeeder:
         self.lib.batch_lookup(
             np.ascontiguousarray(reads, dtype=np.int8),
             np.ascontiguousarray(lens, dtype=np.int32),
-            B, L, self.bucket_start, self.entry_checksum,
+            B, L, self.entry_hv, self.entry_checksum,
+            self.entry_hv.shape[0],
             cfg.kmer, cfg.checksum_len, NL, cfg.seed_lim,
             qpos, start, cnt, high, _nthreads())
         return qpos, start, cnt, high

@@ -65,11 +65,11 @@ def make_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int, cs_len: int,
 
     NL = (cfg.max_read_len + k - 1) // k
 
-    def step(reads, lens, bucket_start, entry_checksum, entry_pos,
+    def step(reads, lens, entry_hv, entry_checksum, entry_pos,
              nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
              iv_max_next, iv_nseg, seg_end, seg_next):
         qpos_d, start_d, cnt_d, hh_d = lookup_batch_device(
-            reads, lens, bucket_start, entry_checksum,
+            reads, lens, entry_hv, entry_checksum,
             k=k, cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim)
         sl = slice(0, 2 * NL, 2)
         cnt_c = cnt_d[:, sl]
@@ -103,47 +103,44 @@ def make_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int, cs_len: int,
     return jax.jit(wrapped)
 
 
-def shard_index_arrays(ci, n_shards: int):
+def shard_index_arrays(ci, n_shards: int, window_size: int = 14):
     """Split a ContigIndex's bucket space into ``n_shards`` contiguous
     ranges for HBM sharding (SURVEY §5: the full-GRCh38 index payload
     exceeds one chip's HBM; shard hash buckets across chips).
 
     Returns numpy arrays stackable on a leading shard axis:
-      bucket_start_sh int32 [D, NBd+1]  (offsets local to the shard's slice)
-      checksum_sh     int16 [D, E_max]
-      pos_sh          int32 [D, E_max]
-      bucket_lo       int32 [D]         (first global bucket owned)
-    Trailing buckets of the last shard and entry tails are padding (empty
-    ranges / never-searched slots).
+      hv_sh       int32 [D, E_max]  (window hash per local entry; padding
+                                     slots hold an out-of-range sentinel)
+      checksum_sh int16 [D, E_max]
+      pos_sh      int32 [D, E_max]
+      bucket_lo   int32 [D]         (first global bucket owned)
+      bucket_hi   int32 [D]         (one past the last bucket owned)
     """
-    nb = ci.bucket_start.shape[0] - 1
+    nb = 1 << (2 * window_size)
     nbd = -(-nb // n_shards)  # ceil
+    HV_SENTINEL = np.int32(2 ** 30)  # > any real 28-bit window hash
     slices = []
     e_max = 1
     for d in range(n_shards):
         lo_b = min(d * nbd, nb)
         hi_b = min(lo_b + nbd, nb)
-        e_lo = int(ci.bucket_start[lo_b])
-        e_hi = int(ci.bucket_start[hi_b])
-        lbs = (ci.bucket_start[lo_b:hi_b + 1].astype(np.int64)
-               - e_lo).astype(np.int32)
-        if lbs.shape[0] < nbd + 1:  # pad short tail with empty buckets
-            pad = np.full(nbd + 1 - lbs.shape[0],
-                          lbs[-1] if lbs.size else 0, np.int32)
-            lbs = np.concatenate([lbs, pad])
-        slices.append((lbs, ci.entry_checksum[e_lo:e_hi],
-                       ci.entry_pos[e_lo:e_hi], lo_b))
+        e_lo = int(np.searchsorted(ci.entry_hv, lo_b, side="left"))
+        e_hi = int(np.searchsorted(ci.entry_hv, hi_b, side="left"))
+        slices.append((ci.entry_hv[e_lo:e_hi], ci.entry_checksum[e_lo:e_hi],
+                       ci.entry_pos[e_lo:e_hi], lo_b, hi_b))
         e_max = max(e_max, e_hi - e_lo)
 
     D = n_shards
-    bucket_start_sh = np.stack([s[0] for s in slices])
+    hv_sh = np.full((D, e_max), HV_SENTINEL, np.int32)
     checksum_sh = np.zeros((D, e_max), np.int16)
     pos_sh = np.zeros((D, e_max), np.int32)
-    for d, (_, cs, ps, _) in enumerate(slices):
+    for d, (hv, cs, ps, _, _) in enumerate(slices):
+        hv_sh[d, :hv.shape[0]] = hv
         checksum_sh[d, :cs.shape[0]] = cs
         pos_sh[d, :ps.shape[0]] = ps
     bucket_lo = np.array([s[3] for s in slices], np.int32)
-    return bucket_start_sh, checksum_sh, pos_sh, bucket_lo
+    bucket_hi = np.array([s[4] for s in slices], np.int32)
+    return hv_sh, checksum_sh, pos_sh, bucket_lo, bucket_hi
 
 
 def make_index_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int,
@@ -165,14 +162,14 @@ def make_index_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int,
     from ..ops.seed import lookup_gather_sharded_local
     from ..ops.chain import chain_batch_device
 
-    def inner(reads, lens, lbs, lcs, lpos, blo,
+    def inner(reads, lens, lhv, lcs, lpos, blo, bhi,
               nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
               iv_max_next, iv_nseg, seg_end, seg_next):
         # [Bd, L] shard -> full query batch on every chip (rides ICI)
         reads_g = jax.lax.all_gather(reads, "dp", axis=0, tiled=True)
         lens_g = jax.lax.all_gather(lens, "dp", axis=0, tiled=True)
         qpos, pos, cnt, high = lookup_gather_sharded_local(
-            reads_g, lens_g, lbs[0], lcs[0], lpos[0], blo[0],
+            reads_g, lens_g, lhv[0], lcs[0], lpos[0], blo[0], bhi[0],
             k=k, cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim,
             cap=seed_cap)
         # owner-computes + psum = the all-to-all result exchange
@@ -193,7 +190,7 @@ def make_index_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int,
         return dp10, back, pos_m, cnt_m, sl(high).sum(axis=1)
 
     in_spec = (P("dp", None), P("dp"),
-               P("dp", None), P("dp", None), P("dp", None), P("dp"),
+               P("dp", None), P("dp", None), P("dp", None), P("dp"), P("dp"),
                P(), P(), P(), P(), P(), P(), P(),
                P(None, None), P(None, None))
     out_spec = (P("dp", None, None), P("dp", None, None),
@@ -202,13 +199,13 @@ def make_index_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int,
                               out_specs=out_spec))
 
 
-def shard_index(mesh: Mesh, ci, axis: str = "dp"):
+def shard_index(mesh: Mesh, ci, axis: str = "dp", window_size: int = 14):
     """Device-put a ContigIndex's shard arrays along the mesh axis."""
     n = mesh.devices.size
-    lbs, lcs, lpos, blo = shard_index_arrays(ci, n)
+    lhv, lcs, lpos, blo, bhi = shard_index_arrays(ci, n, window_size)
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    return (put(lbs, P(axis, None)), put(lcs, P(axis, None)),
-            put(lpos, P(axis, None)), put(blo, P(axis)))
+    return (put(lhv, P(axis, None)), put(lcs, P(axis, None)),
+            put(lpos, P(axis, None)), put(blo, P(axis)), put(bhi, P(axis)))
 
 
 def merge_bsj_candidates(mesh: Mesh, cand: jnp.ndarray,

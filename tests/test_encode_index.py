@@ -51,7 +51,7 @@ def test_index_entries_exact(rng):
     k = cfg.kmer
     hashes = kmer_hashes(codes, k)
     for hv in rng.integers(0, 4 ** cfg.window_size, size=50):
-        lo, hi = ci.bucket_start[hv], ci.bucket_start[hv + 1]
+        lo, hi = ci.bucket_range(hv)
         for e in range(lo, hi):
             pos0 = ci.entry_pos[e] - 1
             full = (hv << (2 * cfg.checksum_len)) | int(ci.entry_checksum[e])
@@ -64,7 +64,7 @@ def test_index_entries_exact(rng):
         expect = np.nonzero(hashes == target)[0] + 1
         hv = target >> (2 * cfg.checksum_len)
         cv = target & ((1 << (2 * cfg.checksum_len)) - 1)
-        lo, hi = ci.bucket_start[hv], ci.bucket_start[hv + 1]
+        lo, hi = ci.bucket_range(hv)
         sub = ci.entry_checksum[lo:hi]
         l = lo + np.searchsorted(sub, cv, "left")
         r = lo + np.searchsorted(sub, cv, "right")
@@ -82,7 +82,7 @@ def test_index_save_load_roundtrip(tmp_path, rng):
         gi2 = load_genome_index(p)
         a, b = gi.contigs[0], gi2.contigs[0]
         assert np.array_equal(a.codes, b.codes)
-        assert np.array_equal(a.bucket_start, b.bucket_start)
+        assert np.array_equal(a.entry_hv, b.entry_hv)
         assert np.array_equal(a.entry_checksum, b.entry_checksum)
         assert np.array_equal(a.entry_pos, b.entry_pos)
 
@@ -107,7 +107,7 @@ def test_device_lookup_matches_host(rng):
 
     qpos_d, start_d, cnt_d, hh_d = lookup_batch_device(
         jnp.asarray(reads), jnp.asarray(lens),
-        jnp.asarray(ci.bucket_start), jnp.asarray(ci.entry_checksum),
+        jnp.asarray(ci.entry_hv), jnp.asarray(ci.entry_checksum),
         k=cfg.kmer, cs_len=cfg.checksum_len, n_slots=cfg.max_seg_cnt,
         seed_lim=cfg.seed_lim)
     qpos_d, start_d = np.asarray(qpos_d), np.asarray(start_d)

@@ -61,7 +61,7 @@ def test_full_index_roundtrip(small_gi, tmp_path):
     for a, b in zip(small_gi.contigs, gi2.contigs):
         assert a.name == b.name and a.length == b.length
         np.testing.assert_array_equal(a.codes, b.codes)
-        np.testing.assert_array_equal(a.bucket_start, b.bucket_start)
+        np.testing.assert_array_equal(a.entry_hv, b.entry_hv)
         np.testing.assert_array_equal(a.entry_checksum, b.entry_checksum)
         np.testing.assert_array_equal(a.entry_pos, b.entry_pos)
 
@@ -72,7 +72,7 @@ def test_compact_index_roundtrip(small_gi, tmp_path):
     gi2 = read_mrsfast_index(p)
     for a, b in zip(small_gi.contigs, gi2.contigs):
         np.testing.assert_array_equal(a.codes, b.codes)
-        np.testing.assert_array_equal(a.bucket_start, b.bucket_start)
+        np.testing.assert_array_equal(a.entry_hv, b.entry_hv)
         np.testing.assert_array_equal(a.entry_pos, b.entry_pos)
 
 

@@ -25,7 +25,7 @@ CAP = 16
 def _replicated(cfg, ci, ad, reads, lens):
     k, cs_len = cfg.kmer, cfg.checksum_len
     qpos_d, start_d, cnt_d, hh_d = lookup_batch_device(
-        reads, lens, jnp.asarray(ci.bucket_start),
+        reads, lens, jnp.asarray(ci.entry_hv),
         jnp.asarray(ci.entry_checksum),
         k=k, cs_len=cs_len, n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
     sl = slice(0, None, 2)
@@ -47,19 +47,19 @@ def _replicated(cfg, ci, ad, reads, lens):
 def test_shard_index_arrays_cover_all_entries():
     cfg, ci, ad, reads, lens = _tiny_problem(1)
     for d in (1, 3, 8):
-        lbs, lcs, lpos, blo = shard_index_arrays(ci, d)
-        nb = ci.bucket_start.shape[0] - 1
+        lhv, lcs, lpos, blo, bhi = shard_index_arrays(
+            ci, d, window_size=cfg.window_size)
         total = 0
         for s in range(d):
-            n_local = int(lbs[s, -1])
-            lo_b = int(blo[s])
-            hi_b = min(lo_b + lbs.shape[1] - 1, nb)
-            e_lo = int(ci.bucket_start[lo_b])
+            n_local = int((lhv[s] < 2 ** 30).sum())
+            lo_b, hi_b = int(blo[s]), int(bhi[s])
+            e_lo = int(np.searchsorted(ci.entry_hv, lo_b))
             total += n_local
-            # local offsets reproduce the global bucket boundaries
+            # local slices reproduce the global entry table
             np.testing.assert_array_equal(
-                lbs[s, :hi_b - lo_b + 1] + e_lo,
-                ci.bucket_start[lo_b:hi_b + 1])
+                lhv[s, :n_local], ci.entry_hv[e_lo:e_lo + n_local])
+            assert np.all(lhv[s, :n_local] >= lo_b)
+            assert np.all(lhv[s, :n_local] < hi_b)
             np.testing.assert_array_equal(
                 lpos[s, :n_local], ci.entry_pos[e_lo:e_lo + n_local])
         assert total == ci.n_entries
@@ -73,13 +73,14 @@ def test_sharded_local_lookup_psum_matches_replicated():
     pos_ref, cnt_ref, qpos_ref, _, _, _ = _replicated(cfg, ci, ad, reads, lens)
 
     D = 4
-    lbs, lcs, lpos, blo = shard_index_arrays(ci, D)
+    lhv, lcs, lpos, blo, bhi = shard_index_arrays(
+        ci, D, window_size=cfg.window_size)
     pos_sum = np.zeros_like(pos_ref)
     cnt_sum = np.zeros_like(cnt_ref)
     for d in range(D):
         qpos, pos, cnt, high = lookup_gather_sharded_local(
-            reads, lens, jnp.asarray(lbs[d]), jnp.asarray(lcs[d]),
-            jnp.asarray(lpos[d]), jnp.int32(blo[d]),
+            reads, lens, jnp.asarray(lhv[d]), jnp.asarray(lcs[d]),
+            jnp.asarray(lpos[d]), jnp.int32(blo[d]), jnp.int32(bhi[d]),
             k=k, cs_len=cs_len, n_slots=cfg.max_seg_cnt,
             seed_lim=cfg.seed_lim, cap=CAP)
         np.testing.assert_array_equal(np.asarray(qpos), qpos_ref)
@@ -106,7 +107,7 @@ def test_index_sharded_map_step_matches_replicated(n_devices):
         seg_pad=ad.seg_pad, seed_cap=CAP, shard_batch=B // n_devices)
 
     args = [shard_reads(mesh, reads), shard_reads(mesh, lens)]
-    args.extend(shard_index(mesh, ci))
+    args.extend(shard_index(mesh, ci, window_size=cfg.window_size))
     for a in (ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end,
               ad.iv_min_end, ad.iv_max_next, ad.iv_nseg,
               ad.seg_end, ad.seg_next):
