@@ -33,8 +33,11 @@ def main():
     ap.add_argument("--n-reads", type=int, default=None)
     ap.add_argument("--genome-len", type=int, default=None)
     ap.add_argument("--err-rate", type=float, default=0.005)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--exec", dest="chain_exec", default="device",
+                    choices=["device", "device-chain", "native"],
+                    help="seed-lookup + chain-DP executor (device = TPU)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -91,7 +94,8 @@ def main():
 
     pairs = [make_pair(r) for r in reads]
 
-    pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=args.batch)
+    pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=args.batch,
+                                 chain_exec=args.chain_exec)
     t0 = time.time()
     pipe.warmup()
     warm_s = time.time() - t0
@@ -119,19 +123,23 @@ def main():
     backend = jax.devices()[0].platform
 
     sys.stderr.write(
-        f"[bench] backend={backend} reads={n} genome={genome_len} "
+        f"[bench] backend={backend} executor={pipe.chain_exec} reads={n} "
+        f"genome={genome_len} "
         f"setup={setup_s:.1f}s warm={warm_s:.1f}s map={map_s:.1f}s circ={circ_s:.1f}s "
         f"CONCRD={n_conc} BSJ={n_bsj_reads} events={n_events} "
         f"(true events={len(truth)})\n")
-    if os.environ.get("CIRCMINER_TIMING"):
-        from circminer_tpu.utils.timing import GLOBAL_TIMER
-        sys.stderr.write(GLOBAL_TIMER.report() + "\n")
+    from circminer_tpu.utils.timing import GLOBAL_TIMER
+    sys.stderr.write(GLOBAL_TIMER.report() + "\n")
 
     print(json.dumps({
         "metric": "pe_reads_per_sec_chip_map_call",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+        "executor": pipe.chain_exec,
+        "backend": backend,
+        "phases": {"setup_s": round(setup_s, 2), "warm_s": round(warm_s, 2),
+                   "map_s": round(map_s, 2), "circ_s": round(circ_s, 2)},
     }))
 
 

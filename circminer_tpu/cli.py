@@ -53,8 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-Z", "--internal-sort", action="store_true")
     p.add_argument("-A", "--sam", action="store_true")
     p.add_argument("-P", "--pam", action="store_true")
-    p.add_argument("--device", choices=["host", "tpu"], default="host",
-                   help="seed+chain compute path (tpu = batched device kernels)")
+    p.add_argument("--device", choices=["tpu", "tpu-chain", "native", "host"],
+                   default="tpu",
+                   help="mapping executor: tpu = batched pipeline, device "
+                        "seed lookup + native chain/filter (default); "
+                        "tpu-chain = dense device chain DP; native = "
+                        "batched host C++; host = per-read python oracle")
     p.add_argument("--mrsfast-format", action="store_true",
                    help="with --index: also write the reference's mrsFAST "
                         "binary index format for interop/parity checks")
@@ -180,9 +184,13 @@ def _run_search_stages(args, cfg: Config) -> int:
         def conloc(chrname, s, e):
             return chrloc2conloc(db.chr2con, chrname, s, e)
 
-        if args.device == "tpu":
+        if args.device in ("tpu", "tpu-chain", "native"):
             from .pipeline.device_pipeline import DeviceMappingPipeline
-            pipe = DeviceMappingPipeline(db, gi, cfg)
+            exec_map = {"tpu": "device", "tpu-chain": "device-chain",
+                        "native": "native"}
+            pipe = DeviceMappingPipeline(db, gi, cfg,
+                                         chain_exec=exec_map[args.device])
+            pipe.warmup()
             n = pipe.map_stream_all_contigs(
                 read_pairs(args.seq1, args.seq2, cfg), out, remain, conloc)
         else:

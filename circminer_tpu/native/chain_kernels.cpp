@@ -321,4 +321,113 @@ void batch_chain(const int32_t* pos, const int32_t* cnt, const int32_t* qpos,
     for (auto& t : ts) t.join();
 }
 
+// Batched k-best extraction from the DEVICE chain DP's results
+// (ops/chain.py:chain_batch_device -> extract_kbest).  dp10/back/pos are
+// int32 [R, NL, S] (dp10 = 10x score, back = flat backpointer into NL*S or
+// -1), qpos/cnt int32 [R, NL].  Output layout identical to batch_chain so
+// the native filter consumes either executor's chains unchanged.
+void batch_extract_kbest(const int32_t* dp10, const int32_t* back,
+                         const int32_t* pos, const int32_t* qpos,
+                         const int32_t* cnt,
+                         int32_t R, int32_t NL, int32_t S,
+                         int32_t k, int32_t max_chain, int64_t shift,
+                         int32_t* out_rpos, int32_t* out_qpos,
+                         int32_t* out_clen, double* out_score,
+                         int32_t* out_n, int32_t n_threads) {
+    auto worker = [&](int32_t r0, int32_t r1) {
+        struct Cell { int32_t dp; int32_t l; int32_t s; };
+        std::vector<Cell> cells;
+        std::unordered_set<int64_t> repeats;
+        for (int32_t r = r0; r < r1; ++r) {
+            const int32_t* DP = dp10 + (int64_t)r * NL * S;
+            const int32_t* BK = back + (int64_t)r * NL * S;
+            const int32_t* P = pos + (int64_t)r * NL * S;
+            const int32_t* Q = qpos + (int64_t)r * NL;
+            const int32_t* C = cnt + (int64_t)r * NL;
+            int32_t* o_rp = out_rpos + (int64_t)r * max_chain * NL;
+            int32_t* o_qp = out_qpos + (int64_t)r * max_chain * NL;
+            int32_t* o_cl = out_clen + (int64_t)r * max_chain;
+            double* o_sc = out_score + (int64_t)r * max_chain;
+            out_n[r] = 0;
+
+            cells.clear();
+            for (int32_t l = 0; l < NL; ++l) {
+                const int32_t n_l = std::min(C[l], S);
+                for (int32_t s = 0; s < n_l; ++s)
+                    if (BK[(size_t)l * S + s] >= 0)
+                        cells.push_back({DP[(size_t)l * S + s], l, s});
+            }
+            // order: score desc, list desc, index asc (extract_kbest)
+            std::stable_sort(cells.begin(), cells.end(),
+                             [](const Cell& a, const Cell& b) {
+                if (a.dp != b.dp) return a.dp > b.dp;
+                if (a.l != b.l) return a.l > b.l;
+                return a.s < b.s;
+            });
+
+            int32_t n_chains = 0;
+            repeats.clear();
+            const int32_t best10 = cells.empty() ? 10 * k : cells[0].dp;
+            for (const Cell& c0 : cells) {
+                if (n_chains >= max_chain) break;
+                // NB: the oracle checks the UNSHIFTED head position against
+                // the SHIFTED repeat set (ops/chain.py extract_kbest /
+                // chain_seeds_host) — identical when shift == 0 (mapping
+                // stage); preserved verbatim for the circ stage.
+                const int64_t spos = P[(size_t)c0.l * S + c0.s];
+                if (c0.dp < best10 && repeats.count(spos)) continue;
+                int32_t cl = 0;
+                bool first = true;
+                int32_t l = c0.l, s = c0.s;
+                while (l != -1 && cl < NL) {
+                    const int64_t rp = shift + P[(size_t)l * S + s];
+                    o_rp[(size_t)n_chains * NL + cl] = (int32_t)rp;
+                    o_qp[(size_t)n_chains * NL + cl] = Q[l];
+                    if (!first) repeats.insert(rp);
+                    first = false;
+                    ++cl;
+                    const int32_t b = BK[(size_t)l * S + s];
+                    if (b < 0) break;
+                    l = b / S; s = b % S;
+                }
+                o_cl[n_chains] = cl;
+                o_sc[n_chains] = (double)c0.dp / 10.0;
+                ++n_chains;
+            }
+
+            // single-fragment fallback (chain.cpp:283-298), lists descending
+            if (n_chains == 0) {
+                int32_t last = NL - 1;
+                while (last >= 0 && C[last] <= 0) --last;
+                for (int32_t l = last; l >= 0 && n_chains < max_chain; --l) {
+                    const int32_t n_l = std::min(C[l], S);
+                    for (int32_t s = 0; s < n_l; ++s) {
+                        if (n_chains >= max_chain) break;
+                        o_rp[(size_t)n_chains * NL] =
+                            (int32_t)(shift + P[(size_t)l * S + s]);
+                        o_qp[(size_t)n_chains * NL] = Q[l];
+                        o_cl[n_chains] = 1;
+                        o_sc[n_chains] = (double)DP[(size_t)l * S + s] / 10.0;
+                        ++n_chains;
+                    }
+                }
+            }
+            out_n[r] = n_chains;
+        }
+    };
+
+    if (n_threads <= 1 || R < 16) {
+        worker(0, R);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int32_t per = (R + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int32_t b0 = t * per, b1 = std::min(R, b0 + per);
+        if (b0 >= b1) break;
+        ts.emplace_back(worker, b0, b1);
+    }
+    for (auto& t : ts) t.join();
+}
+
 }  // extern "C"

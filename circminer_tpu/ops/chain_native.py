@@ -65,6 +65,12 @@ def _load():
         i32p, i32p, i32p, f64p, i32p, ci,
     ]
     lib.batch_chain.restype = None
+    lib.batch_extract_kbest.argtypes = [
+        i32p, i32p, i32p, i32p, i32p,
+        ci, ci, ci, ci, ci, cl,
+        i32p, i32p, i32p, f64p, i32p, ci,
+    ]
+    lib.batch_extract_kbest.restype = None
     _lib = lib
     return lib
 
@@ -141,6 +147,38 @@ class NativeChainer:
             self.iv_max_next, self.iv_seg_off, self.seg_end, self.seg_next,
             self.n_iv,
             k, cfg.max_ed, cfg.max_intron, C, shift,
+            out_rpos, out_qpos, out_clen, out_score, out_n, n_threads)
+        return out_rpos, out_qpos, out_clen, out_score, out_n
+
+    @staticmethod
+    def extract_batch(dp10: np.ndarray, back: np.ndarray, pos: np.ndarray,
+                      qpos: np.ndarray, cnt: np.ndarray, k: int,
+                      max_chain: int, shift: int = 0,
+                      n_threads: int = None):
+        """Batched k-best extraction from device chain-DP outputs
+        (ops/chain.py:extract_kbest semantics).  dp10/back/pos int32
+        [R, NL, S]; qpos/cnt int32 [R, NL].  Returns the batch_chain output
+        layout (rpos [R,C,NL], qp [R,C,NL], clen [R,C], score [R,C],
+        n [R])."""
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native chain library unavailable")
+        R, NL, S = dp10.shape
+        C = max_chain
+        out_rpos = np.zeros((R, C, NL), dtype=np.int32)
+        out_qpos = np.zeros((R, C, NL), dtype=np.int32)
+        out_clen = np.zeros((R, C), dtype=np.int32)
+        out_score = np.zeros((R, C), dtype=np.float64)
+        out_n = np.zeros(R, dtype=np.int32)
+        if n_threads is None:
+            n_threads = max(1, (os.cpu_count() or 1) - 1)
+        lib.batch_extract_kbest(
+            np.ascontiguousarray(dp10, dtype=np.int32),
+            np.ascontiguousarray(back, dtype=np.int32),
+            np.ascontiguousarray(pos, dtype=np.int32),
+            np.ascontiguousarray(qpos, dtype=np.int32),
+            np.ascontiguousarray(cnt, dtype=np.int32),
+            R, NL, S, k, C, shift,
             out_rpos, out_qpos, out_clen, out_score, out_n, n_threads)
         return out_rpos, out_qpos, out_clen, out_score, out_n
 

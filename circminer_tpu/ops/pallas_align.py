@@ -167,6 +167,125 @@ def edit_sc_scan_ref(s: jnp.ndarray, t: jnp.ndarray, n: jnp.ndarray,
     return ed, sclen, indel, score
 
 
+def _edit_sc_kernel(s_ref, t_rev_ref, n_ref, m_ref, out_ref, *, w, max_ed,
+                    max_sc, I):
+    """Pallas twin of edit_sc_scan_ref: banded edit DP + online soft-clip
+    candidate scan.  t_rev_ref holds t reversed into the padded row
+    (Mosaic has no `rev` lowering, so the flip happens outside)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = s_ref[:].astype(jnp.int32)
+    t_rev = t_rev_ref[:].astype(jnp.int32)
+    n = n_ref[:, 0]
+    m = m_ref[:, 0]
+    B = s.shape[0]
+    i_vec = jax.lax.broadcasted_iota(jnp.int32, (B, I), 1)
+    max_sclen = jnp.minimum(max_sc, m)
+
+    d2 = jnp.where(i_vec == 0, 0, POS)
+    d1 = jnp.where(i_vec <= 1, 1, POS)
+    d1 = jnp.where((i_vec <= 1) & (i_vec <= n[:, None])
+                   & ((1 - i_vec) <= m[:, None]), d1, POS)
+    best_key = jnp.zeros((B,), jnp.int32)
+    best_i = jnp.zeros((B,), jnp.int32)
+    best_j = jnp.zeros((B,), jnp.int32)
+
+    # NB: no jnp.argmax — Mosaic only lowers argmax for f32.  Keys are
+    # unique within a diagonal (j = k - i is encoded in the key), so the
+    # attaining index is recovered exactly via a masked-iota max.
+    for k0, d0 in ((0, d2), (1, d1)):
+        key0 = _edit_candidate_key(d0, i_vec, k0, n, m, w, max_ed, max_sclen)
+        kmax0 = jnp.max(key0, axis=1)
+        karg0 = jnp.max(jnp.where(key0 == kmax0[:, None], i_vec, -1), axis=1)
+        better0 = kmax0 > best_key
+        best_key = jnp.where(better0, kmax0, best_key)
+        best_i = jnp.where(better0, karg0, best_i)
+        best_j = jnp.where(better0, k0 - karg0, best_j)
+
+    s_elem = jnp.roll(s, 1, axis=1)
+
+    def body(k, carry):
+        d2, d1, best_key, best_i, best_j = carry
+        # dynamic rotate: jnp.roll with a traced shift lowers to
+        # dynamic_slice (unsupported in Mosaic); pltpu.roll is the native op
+        t_elem = pltpu.roll(t_rev, jax.lax.rem(k, I), axis=1)
+        mis = ((s_elem != t_elem) | (s_elem >= 4)
+               | (t_elem >= 4)).astype(jnp.int32)
+        diag = jnp.roll(d2, 1, axis=1) + mis
+        up = jnp.roll(d1, 1, axis=1) + 1
+        left = d1 + 1
+        dp = jnp.minimum(diag, jnp.minimum(up, left))
+        j_vec = k - i_vec
+        dp = jnp.where((j_vec == 0) & (i_vec <= w), i_vec, dp)
+        dp = jnp.where((i_vec == 0) & (j_vec <= w) & (j_vec >= 0), j_vec, dp)
+        valid = ((i_vec >= 0) & (i_vec <= n[:, None]) & (j_vec >= 0)
+                 & (j_vec <= m[:, None]) & (jnp.abs(i_vec - j_vec) <= w))
+        dp = jnp.where(valid, dp, POS)
+        key = _edit_candidate_key(dp, i_vec, k, n, m, w, max_ed, max_sclen)
+        kmax = jnp.max(key, axis=1)
+        karg = jnp.max(jnp.where(key == kmax[:, None], i_vec, -1), axis=1)
+        better = kmax > best_key
+        best_key = jnp.where(better, kmax, best_key)
+        best_i = jnp.where(better, karg, best_i)
+        best_j = jnp.where(better, k - karg, best_j)
+        return (d1, dp, best_key, best_i, best_j)
+
+    carry = jax.lax.fori_loop(2, 2 * I, body,
+                              (d2, d1, best_key, best_i, best_j))
+    _, _, best_key, best_i, best_j = carry
+
+    has, ed, sclen, indel = _decode_candidate(
+        best_key, best_i, best_j, n, m, w, max_ed, max_sc)
+    tail_key = (((m - 2 * m + 512) << 21) | ((31 - m) << 16) | (15 << 12)
+                | (m << 5) | 31)
+    tail_better = (m <= max_ed) & (tail_key > best_key)
+    ed = jnp.where(tail_better, m, ed)
+    sclen = jnp.where(tail_better, 0, sclen)
+    indel = jnp.where(tail_better, 0, indel)
+    score = m - sclen - 2 * ed
+    out_ref[:, 0] = ed
+    out_ref[:, 1] = sclen
+    out_ref[:, 2] = indel
+    out_ref[:, 3] = score
+
+
+@partial(jax.jit, static_argnames=("w", "max_ed", "max_sc", "I", "block_b",
+                                  "interpret"))
+def edit_sc_batch_pallas(s, t, n, m, *, w: int, max_ed: int, max_sc: int,
+                         I: int = 128, block_b: int = 256,
+                         interpret: bool = False):
+    """Pallas banded-edit+soft-clip kernel over a [B, I] batch (B multiple
+    of block_b).  Same outputs as edit_sc_batch_ref."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = s.shape[0]
+    s_pad = jnp.pad(s, ((0, 0), (0, I - s.shape[1])))
+    t_pad = jnp.pad(t, ((0, 0), (0, I - t.shape[1])))
+    t_rev = jnp.flip(t_pad, axis=1)
+    grid = (B // block_b,)
+    kern = partial(_edit_sc_kernel, w=w, max_ed=max_ed, max_sc=max_sc, I=I)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, 4), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, I), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, I), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 4), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(s_pad, t_rev, n[:, None], m[:, None])
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+
+
 # --------------------------------------------------------------------------
 # X-drop anti-diagonal score DP (align.cpp:254-390)
 # --------------------------------------------------------------------------

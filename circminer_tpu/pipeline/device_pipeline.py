@@ -1,23 +1,26 @@
-"""Batched hybrid mapping pipeline: host C++ seeding, device chain DP.
+"""Batched mapping pipeline with pluggable chaining executors.
 
-The per-read orchestration (extension, categories) stays on host; the chain
-DP — the branchy O(lists^2 * occ^2) hot loop (filter.cpp:470-482,
-chain.cpp:73-301) — runs as a fixed-shape batched device kernel over whole
-read blocks, 4 orientations at once (R1 fwd, R1 rc, R2 fwd, R2 rc).
+The per-read orchestration (extension, categories) runs in the native C++
+finish engine (ops/filter_native.py); the seed lookup + chain DP — the hot
+loops (filter.cpp:470-482, match_read.cpp:54-110, chain.cpp:73-301) — run
+either on the TPU or on host C++:
 
-Seed lookup is a memory-latency pointer workload (hash -> bucket -> checksum
-bisect) that the host does in ~20 ms/batch via the native C++ kernels
-(ops/seed_native.py), so the index stays in host RAM and only the dense seed
-tensors ship to the device.  A pure-device lookup (ops/seed.py) remains for
-HBM-resident-index deployments (and is what the multi-chip sharded step
-uses), but XLA's giant-table gathers are pathological on current TPU
-runtimes, so the hybrid split is the default executor.
+  - ``chain_exec="device"`` (TPU-native path): the index lives in HBM
+    (entry_hv / entry_checksum / entry_pos arrays); per batch, ONE fused
+    lookup dispatch (vectorized composite (hv, checksum) bisect over the
+    sorted entry table) and one fused gather+chain-DP dispatch per
+    occupancy bucket.  Only the small (start, cnt, qpos) tensors and the
+    concatenated (dp10 | back) DP results cross the host boundary; k-best
+    extraction and the filter engine consume them natively.
+  - ``chain_exec="native"``: multithreaded host C++ lookup + chain DP
+    (the round-1 default, kept for hosts with many cores / no chip).
 
 Latency design (the TPU here sits behind a tunnel where every dispatch pays
 an RTT and small fetches are latency-bound):
   - one fused chain-DP dispatch per occupancy bucket, fetching a single
-    concatenated (dp10 | back) tensor; seed positions stay host-side so the
-    fetch is 8*NL bytes/row/cap instead of the full seed tensor,
+    concatenated (dp10 | back) tensor; seed positions are re-gathered
+    host-side from the shared entry table so the fetch is 8*NL
+    bytes/row/cap instead of the full seed tensor,
   - batches are software-pipelined two deep: while the host runs extension
     and category logic for batch i, the device is already chaining batch
     i+1.
@@ -36,29 +39,56 @@ import numpy as np
 from ..config import Config, CONCRD, CHIBSJ, CHI2BSJ
 from ..annotation.device import AnnoDevice
 from ..ops.chain import chain_batch_device, extract_kbest, Chain
+from ..ops.seed import lookup_batch_device, gather_seeds_device
 from ..utils.timing import GLOBAL_TIMER as T
 from .mapping import Mapper, ReadRecord
 
 
 @dataclasses.dataclass
 class ContigDeviceState:
-    anno: AnnoDevice
-    seeder: object  # NativeSeeder (or numpy fallback)
+    anno: Optional[AnnoDevice]
+    seeder: object  # NativeSeeder (or numpy fallback); host gather helper
+    entry_hv: Optional[jnp.ndarray] = None      # device-resident index
+    entry_checksum: Optional[jnp.ndarray] = None
+    entry_pos: Optional[jnp.ndarray] = None
 
 
-@partial(jax.jit, static_argnames=("k", "max_ed", "max_intron", "seg_pad"))
-def _chain_dp(pos, cnt, qpos, lens,
-              nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
-              iv_max_next, iv_nseg, seg_end, seg_next,
-              *, k, max_ed, max_intron, seg_pad):
-    """Chain DP on pre-gathered seeds; one concatenated int32 output
-    [R, NL, 2*cap] = (dp10 | back) for a single fetch."""
+@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim"))
+def _lookup_even(reads, lens, entry_hv, entry_checksum,
+                 *, k, cs_len, n_slots, seed_lim):
+    """Device seed lookup; returns ONE 2-D int32 [B, 2*NL + 1] tensor
+    (start | cnt | high-hit count) over the even (non-overlapping) k-mer
+    slots.  qpos is NOT fetched — it is deterministic from the read length
+    (slot*k when the k-mer fits) and recomputed host-side.
+
+    One small 2-D fetch is deliberate: the tunneled d2h path costs ~45 ms
+    per fetch regardless of size below ~1 MB and degrades unpredictably on
+    large or oddly-shaped buffers (see HW_NOTES.md measurements)."""
+    qpos, start, cnt, high = lookup_batch_device(
+        reads, lens, entry_hv, entry_checksum,
+        k=k, cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim)
+    hh = jnp.sum(high[:, ::2].astype(jnp.int32), axis=1)
+    return jnp.concatenate([start[:, ::2], cnt[:, ::2], hh[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("cap", "k", "max_ed", "max_intron",
+                                   "seg_pad"))
+def _gather_chain_dp(entry_pos, start, cnt, qpos, lens,
+                     nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+                     iv_max_next, iv_nseg, seg_end, seg_next,
+                     *, cap, k, max_ed, max_intron, seg_pad):
+    """Fused device seed gather + chain DP: one dispatch per occupancy
+    bucket, one concatenated int32 [R, NL, 2*cap] = (dp10 | back) fetch."""
+    pos, _ = gather_seeds_device(entry_pos, start, jnp.minimum(cnt, cap),
+                                 cap=cap)
     dp10, back = chain_batch_device(
         pos, cnt, qpos, lens,
         nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
         iv_max_next, iv_nseg, seg_end, seg_next,
         k=k, max_ed=max_ed, max_intron=max_intron, seg_pad=seg_pad)
-    return jnp.concatenate([dp10, back], axis=-1)
+    # 2-D fetch shape (tunnel d2h degrades on >2-D small-minor layouts)
+    R, NL = cnt.shape
+    return jnp.concatenate([dp10, back], axis=-1).reshape(R * NL, 2 * cap)
 
 
 def _numpy_seeder(ci, cfg):
@@ -98,40 +128,50 @@ def _numpy_seeder(ci, cfg):
 
 
 class DeviceMappingPipeline:
-    """chain_exec selects the chaining executor:
-      - "native": multithreaded C++ chain DP on host (default — measured
-        fastest on tunneled single-chip backends where each dispatch pays an
-        RTT and XLA's large-table ops underperform),
-      - "device": batched jax chain DP on the accelerator (the HBM-resident
-        design used by the multi-chip sharded step).
+    """chain_exec selects the seed-lookup + chaining executor:
+      - "device" (default): seed lookup on the accelerator (index resident
+        in HBM, one fused bisect dispatch per batch) + sparse k-best chain
+        DP in host C++.  Measured fastest on this class of host/chip: the
+        lookup is a wide data-parallel bisect (0.1 ms on-chip for 16K reads
+        vs 35 ms in host C++) while the chain DP is a tiny sparse pointer
+        workload whose dense [S, M] device formulation does ~1000x the
+        arithmetic of the sparse host loop (see HW_NOTES.md measurements),
+      - "device-chain": lookup AND dense chain DP on the accelerator (the
+        all-HBM formulation the multi-chip sharded step uses),
+      - "native": everything on host C++.
     """
 
     def __init__(self, db, gi, cfg: Config, batch_size: int = 4096,
-                 seg_pad: int = 16, chain_exec: str = "native"):
+                 seg_pad: int = 16, chain_exec: str = "device"):
         self.db = db
         self.gi = gi
         self.cfg = cfg
         self.batch = batch_size
         self.seg_pad = seg_pad
-        if chain_exec == "native":
-            from ..ops.chain_native import available
-            if not available():
-                chain_exec = "device"
+        from ..ops.chain_native import available as _chain_avail
+        if chain_exec in ("native", "device") and not _chain_avail():
+            chain_exec = "device-chain"
         self.chain_exec = chain_exec
         self.states: List[ContigDeviceState] = []
         self.mappers: List[Mapper] = []
         self.chainers: List[object] = []
         for c, ci in enumerate(gi.contigs):
             anno = (AnnoDevice.from_contig(db.contigs[c], seg_pad=seg_pad)
-                    if chain_exec == "device" else None)
+                    if chain_exec == "device-chain" else None)
             try:
                 from ..ops.seed_native import NativeSeeder
                 seeder = NativeSeeder(ci, cfg)
             except Exception:
                 seeder = _numpy_seeder(ci, cfg)
-            self.states.append(ContigDeviceState(anno=anno, seeder=seeder))
+            st = ContigDeviceState(anno=anno, seeder=seeder)
+            if chain_exec in ("device", "device-chain"):
+                st.entry_hv = jnp.asarray(ci.entry_hv)
+                st.entry_checksum = jnp.asarray(
+                    ci.entry_checksum.astype(np.int32))
+                st.entry_pos = jnp.asarray(ci.entry_pos)
+            self.states.append(st)
             self.mappers.append(Mapper(db, c, ci.codes, cfg, seeder=None))
-            if chain_exec == "native":
+            if chain_exec in ("native", "device"):
                 from ..ops.chain_native import NativeChainer
                 self.chainers.append(NativeChainer(db.contigs[c], cfg))
             else:
@@ -145,39 +185,102 @@ class DeviceMappingPipeline:
                 self.filters.append(NativeFilter(db, c, ci.codes, cfg))
             except Exception:
                 self.filters.append(None)
+        # native k-best extraction for the device path
+        try:
+            from ..ops.chain_native import available as _chain_avail
+            self.native_extract = _chain_avail()
+        except Exception:
+            self.native_extract = False
         self.n_lists = cfg.n_kmer_lists
 
-    # ---- stage 1: encode + host lookup ----
-    def dispatch_lookup(self, recs, contig: int):
+    # ---- stage 1: encode + lookup dispatch ----
+    def _encode(self, recs, pad_rows: Optional[int] = None):
         cfg = self.cfg
-        st = self.states[contig]
         n = len(recs)
         L = cfg.max_read_len
+        R = 4 * n if pad_rows is None else pad_rows
         with T.phase("encode"):
-            seqs = np.zeros((4 * n, L), dtype=np.int8)
-            lens = np.zeros(4 * n, dtype=np.int32)
+            seqs = np.zeros((R, L), dtype=np.int8)
+            lens = np.zeros(R, dtype=np.int32)
             for i, (r1, r2) in enumerate(recs):
                 for o, s in enumerate((r1.seq, r1.rcseq, r2.seq, r2.rcseq)):
                     seqs[4 * i + o, :len(s)] = s
                     lens[4 * i + o] = len(s)
+        return seqs, lens
+
+    def dispatch_lookup(self, recs, contig: int):
+        cfg = self.cfg
+        st = self.states[contig]
+        if self.chain_exec in ("device", "device-chain"):
+            # pad to the compiled batch shape so the last partial batch
+            # reuses the warm executable
+            seqs, lens = self._encode(recs, pad_rows=4 * self.batch)
+            with T.phase("lookup_dispatch"):
+                packed = _lookup_even(
+                    jnp.asarray(seqs), jnp.asarray(lens),
+                    st.entry_hv, st.entry_checksum,
+                    k=cfg.kmer, cs_len=cfg.checksum_len,
+                    n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
+            # fetch in the background so the (tunnel-bound) d2h transfer
+            # overlaps the host chain/filter work of the previous batch
+            import threading
+            holder = {}
+
+            def _bg_fetch():
+                holder["arr"] = np.asarray(packed)
+
+            th = threading.Thread(target=_bg_fetch, daemon=True)
+            th.start()
+            return dict(recs=recs, contig=contig, dev_lookup=packed,
+                        fetch_thread=th, fetch_holder=holder,
+                        lens=lens, seqs=seqs)
+        seqs, lens = self._encode(recs)
         with T.phase("host_lookup"):
             qpos, start, cnt, high = st.seeder.lookup(seqs, lens)
         return dict(recs=recs, contig=contig, qpos=qpos, start=start,
                     cnt=cnt, high=high, lens=lens, seqs=seqs)
 
-    # ---- stage 2: bucket by occupancy, gather, dispatch chain DP ----
+    def _fetch_lookup(self, lf):
+        """Fetch the device lookup result and rewrite lf to host layout,
+        truncated to the real (unpadded) row count.  qpos is recomputed
+        host-side (slot*k when the k-mer fits the read)."""
+        with T.phase("lookup_fetch"):
+            th = lf.get("fetch_thread")
+            if th is not None:
+                th.join()
+                packed_h = lf["fetch_holder"]["arr"]  # [R, 2*NL + 1] int32
+            else:
+                packed_h = np.asarray(lf["dev_lookup"])
+        NL = self.n_lists
+        k = self.cfg.kmer
+        n_rows = 4 * len(lf["recs"])
+        lens = lf["lens"][:n_rows]
+        ql = (np.arange(NL, dtype=np.int32) * k)[None, :]
+        qpos = np.where(ql + k <= lens[:, None], ql, 0).astype(np.int32)
+        return dict(recs=lf["recs"], contig=lf["contig"],
+                    qpos=qpos,
+                    start=packed_h[:n_rows, :NL],
+                    cnt=packed_h[:n_rows, NL:2 * NL],
+                    high=packed_h[:n_rows, 2 * NL].copy(),
+                    lens=lens, seqs=lf["seqs"][:n_rows])
+
+    # ---- stage 2: bucket by occupancy, dispatch chain DP ----
     def dispatch_chain(self, lf):
-        if self.chain_exec == "native":
+        if "dev_lookup" in lf:
+            lf = self._fetch_lookup(lf)
+        if self.chain_exec in ("native", "device"):
             return self._chain_native(lf)
         cfg = self.cfg
         st = self.states[lf["contig"]]
         ad = st.anno
+        qpos_h = np.maximum(lf["qpos"], 0)
+        start_h = lf["start"]
         cnt_h = lf["cnt"]
+        hh_h = lf["high"]
         maxocc = cnt_h.max(axis=1) if cnt_h.shape[1] > 0 else \
             np.zeros(len(cnt_h), np.int32)
         buckets = []
         prev = 0
-        pos_cache = {}
         for cap in self._caps():
             rows = np.nonzero((maxocc <= cap) & (maxocc > prev))[0] \
                 if prev else np.nonzero(maxocc <= cap)[0]
@@ -188,36 +291,29 @@ class DeviceMappingPipeline:
             for c0 in range(0, len(rows), chunk):
                 sub = rows[c0:c0 + chunk]
                 R = len(sub)
-                with T.phase(f"gather_cap{cap}"):
-                    pos_b = st.seeder.gather(
-                        lf["start"][sub], np.minimum(cnt_h[sub], cap), cap)
-                if R < chunk:  # pad to the compiled shape
-                    pos_p = np.zeros((chunk,) + pos_b.shape[1:], np.int32)
-                    pos_p[:R] = pos_b
-                    cnt_p = np.zeros((chunk, cnt_h.shape[1]), np.int32)
-                    cnt_p[:R] = cnt_h[sub]
-                    qpos_p = np.zeros((chunk, cnt_h.shape[1]), np.int32)
-                    qpos_p[:R] = np.maximum(lf["qpos"][sub], 0)
-                    lens_p = np.zeros(chunk, np.int32)
-                    lens_p[:R] = lf["lens"][sub]
-                else:
-                    pos_p = pos_b
-                    cnt_p = cnt_h[sub]
-                    qpos_p = np.maximum(lf["qpos"][sub], 0)
-                    lens_p = lf["lens"][sub]
+                start_p = np.zeros((chunk, cnt_h.shape[1]), np.int32)
+                start_p[:R] = start_h[sub]
+                cnt_p = np.zeros((chunk, cnt_h.shape[1]), np.int32)
+                cnt_p[:R] = cnt_h[sub]
+                qpos_p = np.zeros((chunk, cnt_h.shape[1]), np.int32)
+                qpos_p[:R] = qpos_h[sub]
+                lens_p = np.zeros(chunk, np.int32)
+                lens_p[:R] = lf["lens"][sub]
                 with T.phase(f"chain_dispatch_cap{cap}"):
-                    fut = _chain_dp(
-                        jnp.asarray(pos_p), jnp.asarray(cnt_p),
-                        jnp.asarray(qpos_p), jnp.asarray(lens_p),
+                    fut = _gather_chain_dp(
+                        st.entry_pos, jnp.asarray(start_p),
+                        jnp.asarray(cnt_p), jnp.asarray(qpos_p),
+                        jnp.asarray(lens_p),
                         ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end,
                         ad.iv_min_end, ad.iv_max_next, ad.iv_nseg,
                         ad.seg_end, ad.seg_next,
-                        k=cfg.kmer, max_ed=cfg.max_ed,
+                        cap=cap, k=cfg.kmer, max_ed=cfg.max_ed,
                         max_intron=cfg.max_intron, seg_pad=ad.seg_pad)
-                buckets.append((sub, cap, pos_b, fut))
+                buckets.append((sub, cap, start_h[sub], cnt_h[sub],
+                                qpos_h[sub], fut))
         return dict(recs=lf["recs"], contig=lf["contig"], buckets=buckets,
-                    cnt=cnt_h, qpos=np.maximum(lf["qpos"], 0),
-                    hh=lf["high"])
+                    cnt=cnt_h, qpos=qpos_h, hh=hh_h, seqs=lf["seqs"],
+                    lens=lf["lens"], device=True)
 
     def _chain_native(self, lf):
         """Host path: gather + multithreaded C++ chain DP, occupancy-bucketed
@@ -248,39 +344,102 @@ class DeviceMappingPipeline:
                     cnt=cnt_h, qpos=qpos_h, hh=lf["high"], native=True,
                     seqs=lf["seqs"], lens=lf["lens"])
 
-    # ---- stage 3: fetch chains, run host mapping ----
+    # ---- stage 3: fetch chains, finish on host ----
     def finish(self, cf) -> None:
         if cf.get("native"):
             return self._finish_native(cf)
+        return self._finish_device(cf)
+
+    def _finish_device(self, cf) -> None:
+        """Fetch per-bucket DP results, extract k-best chains natively, and
+        finish through the C++ filter engine (extension + categories)."""
+        from ..ops.chain_native import NativeChainer
         cfg = self.cfg
+        st = self.states[cf["contig"]]
         recs = cf["recs"]
         n = len(recs)
+        k = cfg.kmer
+        C = cfg.max_chain_len
+        NL = self.n_lists
+        nf = self.filters[cf["contig"]]
+        use_native = nf is not None and self.native_extract
+        R_full = cf["cnt"].shape[0]
+
+        if use_native:
+            rp_f = np.zeros((R_full, C, NL), np.int32)
+            qp_f = np.zeros((R_full, C, NL), np.int32)
+            cl_f = np.zeros((R_full, C), np.int32)
+            sc_f = np.zeros((R_full, C), np.float64)
+            cn_f = np.zeros(R_full, np.int32)
+            for rows, cap, start_b, cnt_b, qpos_b, fut in cf["buckets"]:
+                with T.phase(f"chain_fetch_cap{cap}"):
+                    fut.block_until_ready()
+                    blob = np.asarray(fut).reshape(-1, NL, 2 * cap)
+                Rb = len(rows)
+                dp10 = blob[:Rb, :, :cap]
+                back = blob[:Rb, :, cap:]
+                with T.phase(f"gather_cap{cap}"):
+                    pos_b = st.seeder.gather(
+                        start_b, np.minimum(cnt_b, cap), cap)
+                with T.phase(f"extract_cap{cap}"):
+                    rp, qp, cl, sc, cn = NativeChainer.extract_batch(
+                        dp10, back, pos_b, qpos_b, cnt_b, k, C)
+                rp_f[rows] = rp
+                qp_f[rows] = qp
+                cl_f[rows] = cl
+                sc_f[rows] = sc
+                cn_f[rows] = cn
+            self._filter_batch(recs, cf["seqs"][:4 * n], cf["lens"][:4 * n],
+                               rp_f[:4 * n], qp_f[:4 * n], cl_f[:4 * n],
+                               sc_f[:4 * n], cn_f[:4 * n],
+                               cf["hh"][:4 * n], cf["contig"])
+            return
+
+        # python fallback: per-read extraction + orchestration
         cnt_h, qpos_h, hh_h = cf["cnt"], cf["qpos"], cf["hh"]
         dp_out = [None] * (4 * n)
         back_out = [None] * (4 * n)
         pos_out = [None] * (4 * n)
-        for rows, cap, pos_b, fut in cf["buckets"]:
+        for rows, cap, start_b, cnt_b, qpos_b, fut in cf["buckets"]:
             with T.phase(f"chain_fetch_cap{cap}"):
                 fut.block_until_ready()
-                blob = np.asarray(fut)  # [Rp, NL, 2*cap]
-            dp10 = blob[:, :, :cap]
-            back = blob[:, :, cap:]
+                blob = np.asarray(fut).reshape(-1, self.n_lists, 2 * cap)
+            Rb = len(rows)
+            pos_b = st.seeder.gather(start_b, np.minimum(cnt_b, cap), cap)
             for ri, r in enumerate(rows):
-                dp_out[r] = dp10[ri]
-                back_out[r] = back[ri]
+                if r >= 4 * n:
+                    continue
+                dp_out[r] = blob[ri, :, :cap]
+                back_out[r] = blob[ri, :, cap:]
                 pos_out[r] = pos_b[ri]
         mapper = self.mappers[cf["contig"]]
         with T.phase("host_finish"):
             for i, (r1, r2) in enumerate(recs):
-                if cfg.scan_level == 0 and r1.mr.type == CONCRD:
+                if self.cfg.scan_level == 0 and r1.mr.type == CONCRD:
                     continue
                 quad = []
                 for o in range(4):
                     r = 4 * i + o
                     chains = extract_kbest(dp_out[r], back_out[r], pos_out[r],
-                                           qpos_h[r], cnt_h[r], cfg)
+                                           qpos_h[r], cnt_h[r], self.cfg)
                     quad.append((chains, int(hh_h[r])))
                 mapper.process_read_pe(r1, r2, tuple(quad))
+
+    def _filter_batch(self, recs, seqs, lens, rp_f, qp_f, cl_f, sc_f, cn_f,
+                      hh, contig) -> None:
+        """Shared native finish: chains -> extension + categories in C++."""
+        from ..ops.filter_native import NativeFilter
+        nf = self.filters[contig]
+        with T.phase("filter_assemble"):
+            mr_state = np.ascontiguousarray(np.stack([
+                NativeFilter.mr_to_state(r1.mr, nf.chr_names)
+                for r1, _ in recs]))
+        with T.phase("filter_native"):
+            nf.filter_pe(seqs, lens, rp_f, qp_f, cl_f, sc_f,
+                         cn_f, hh, mr_state)
+        with T.phase("filter_writeback"):
+            for i, (r1, _) in enumerate(recs):
+                NativeFilter.state_to_mr(mr_state[i], r1.mr, nf.chr_names)
 
     def _finish_native(self, cf) -> None:
         from ..ops.chain_native import NativeChainer
@@ -292,7 +451,6 @@ class DeviceMappingPipeline:
         nf = self.filters[cf["contig"]]
         if nf is not None:
             # fully native finish: extension + pairing + categories in C++
-            from ..ops.filter_native import NativeFilter
             R = 4 * n
             C = cfg.max_chain_len
             NL = self.n_lists
@@ -308,16 +466,8 @@ class DeviceMappingPipeline:
                     cl_f[rows] = cl
                     sc_f[rows] = sc
                     cn_f[rows] = cn
-                mr_state = np.ascontiguousarray(np.stack([
-                    NativeFilter.mr_to_state(r1.mr, nf.chr_names)
-                    for r1, _ in recs]))
-            with T.phase("filter_native"):
-                nf.filter_pe(cf["seqs"], cf["lens"], rp_f, qp_f, cl_f, sc_f,
-                             cn_f, hh_h, mr_state)
-            with T.phase("filter_writeback"):
-                for i, (r1, _) in enumerate(recs):
-                    NativeFilter.state_to_mr(mr_state[i], r1.mr,
-                                             nf.chr_names)
+            self._filter_batch(recs, cf["seqs"], cf["lens"], rp_f, qp_f,
+                               cl_f, sc_f, cn_f, hh_h, cf["contig"])
             return
         chains_out = [None] * (4 * n)
         for rows, rp, qp, cl, sc, cn in cf["parts"]:
@@ -426,23 +576,38 @@ class DeviceMappingPipeline:
                 remain.write(r1, r2, r1.mr, conloc)
 
     def warmup(self):
-        """Execute every (cap, chunk) bucket shape so no compile lands inside
-        the streamed region.  No-op in native mode (nothing to compile)."""
+        """Execute every device executable shape (lookup + each (cap, chunk)
+        bucket) so no compile lands inside the streamed region.  No-op in
+        native mode (nothing to compile)."""
         if self.chain_exec == "native":
             return
         cfg = self.cfg
         st = self.states[0]
         ad = st.anno
         NL = self.n_lists
+        L = cfg.max_read_len
+        R = 4 * self.batch
+        packed = _lookup_even(
+            jnp.zeros((R, L), jnp.int8), jnp.zeros(R, jnp.int32),
+            st.entry_hv, st.entry_checksum,
+            k=cfg.kmer, cs_len=cfg.checksum_len,
+            n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
+        # absorb the first d2h fetch here: on the tunneled backend the very
+        # first device->host transfer of a session can stall for seconds
+        # (see HW_NOTES.md); don't let it land inside the streamed region
+        np.asarray(packed)
+        if self.chain_exec != "device-chain":
+            return
         for cap in self._caps():
             chunk = self._chunk_for(cap)
-            out = _chain_dp(
-                jnp.zeros((chunk, NL, cap), jnp.int32),
+            out = _gather_chain_dp(
+                st.entry_pos,
+                jnp.zeros((chunk, NL), jnp.int32),
                 jnp.zeros((chunk, NL), jnp.int32),
                 jnp.zeros((chunk, NL), jnp.int32),
                 jnp.full((chunk,), cfg.max_read_len, jnp.int32),
                 ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end,
                 ad.iv_min_end, ad.iv_max_next, ad.iv_nseg, ad.seg_end,
-                ad.seg_next, k=cfg.kmer, max_ed=cfg.max_ed,
+                ad.seg_next, cap=cap, k=cfg.kmer, max_ed=cfg.max_ed,
                 max_intron=cfg.max_intron, seg_pad=ad.seg_pad)
             out.block_until_ready()

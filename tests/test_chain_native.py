@@ -155,3 +155,46 @@ def test_native_chain_shift_and_small_k():
         got = chain_native.NativeChainer.to_chains(
             rp[r], qp[r], cl[r], sc[r], n[r], cfg.kmer)
         _assert_equal_chains(got, want, r)
+
+
+def test_native_extract_matches_python_extract():
+    """batch_extract_kbest (C++) vs extract_kbest (python) on device chain
+    DP outputs — the device executor's extraction path."""
+    import jax.numpy as jnp
+    from circminer_tpu.ops.chain import chain_batch_device, extract_kbest
+
+    cfg = Config(kmer=20, max_read_len=120)
+    rng = np.random.default_rng(23)
+    NL = cfg.n_kmer_lists
+    cap = 16
+    R = 150
+    pos = np.zeros((R, NL, cap), dtype=np.int32)
+    cnt = np.zeros((R, NL), dtype=np.int32)
+    qpos = np.zeros((R, NL), dtype=np.int32)
+    lens = np.zeros(R, dtype=np.int32)
+    for r in range(R):
+        p, c, q, sl = _random_case(rng, cfg, None, 0, 200_000, cfg.kmer,
+                                   NL, cap)
+        pos[r], cnt[r], qpos[r], lens[r] = p, c, q, sl
+    # sort each list ascending (device gather produces sorted positions)
+    for r in range(R):
+        for l in range(NL):
+            pos[r, l, :cnt[r, l]] = np.sort(pos[r, l, :cnt[r, l]])
+
+    z1 = jnp.zeros(1, jnp.uint8)
+    zi = jnp.zeros(1, jnp.int32)
+    zs = jnp.zeros((1, 4), jnp.int32)
+    dp10, back = chain_batch_device(
+        jnp.asarray(pos), jnp.asarray(cnt), jnp.asarray(qpos),
+        jnp.asarray(lens), z1, zi, zi, zi, zi, zi, zi, zs, zs,
+        k=cfg.kmer, max_ed=cfg.max_ed, max_intron=cfg.max_intron, seg_pad=4)
+    dp10 = np.asarray(dp10)
+    back = np.asarray(back)
+
+    rp, qp, cl, sc, n = chain_native.NativeChainer.extract_batch(
+        dp10, back, pos, qpos, cnt, cfg.kmer, cfg.max_chain_len)
+    for r in range(R):
+        want = extract_kbest(dp10[r], back[r], pos[r], qpos[r], cnt[r], cfg)
+        got = chain_native.NativeChainer.to_chains(
+            rp[r], qp[r], cl[r], sc[r], n[r], cfg.kmer)
+        _assert_equal_chains(got, want, r)

@@ -147,3 +147,17 @@ def test_drop_local_sc_wrapper_matches_oracle():
             s[b, :ns[b]], t[b, :ms[b]], W, MAX_ED, MAX_SC, SM)
         got = (int(ed[b]), int(sclen[b]), int(ind_[b]), int(score[b]))
         assert got == want, (b, got, want)
+
+
+def test_edit_sc_pallas_interpret_matches_ref():
+    from circminer_tpu.ops.pallas_align import edit_sc_batch_pallas
+    rng = np.random.default_rng(10)
+    B = 256
+    s, t, ns, ms = _random_pairs(rng, B)
+    args = (jnp.asarray(s), jnp.asarray(t), jnp.asarray(ns), jnp.asarray(ms))
+    kw = dict(w=W, max_ed=MAX_ED, max_sc=MAX_SC)
+    ref = jax.device_get(edit_sc_batch_ref(*args, **kw))
+    got = jax.device_get(edit_sc_batch_pallas(*args, block_b=B,
+                                              interpret=True, **kw))
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
