@@ -30,14 +30,19 @@ BASELINE_READS_PER_SEC = 10_000.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="small quick run")
+    ap.add_argument("--chr21", action="store_true",
+                    help="chr21-scale run: 47 Mbp genome, ~780 genes, 5%% "
+                         "segmental duplications, 1M read pairs")
     ap.add_argument("--n-reads", type=int, default=None)
     ap.add_argument("--genome-len", type=int, default=None)
     ap.add_argument("--err-rate", type=float, default=0.005)
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--exec", dest="chain_exec", default="device",
-                    choices=["device", "device-chain", "native"],
-                    help="seed-lookup + chain-DP executor (device = TPU)")
+    ap.add_argument("--exec", dest="chain_exec", default="auto",
+                    choices=["auto", "device", "device-chain", "native"],
+                    help="seed-lookup + chain-DP executor (auto measures "
+                         "the device and host paths at warmup and picks "
+                         "the faster on this hardware)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -47,8 +52,14 @@ def main():
     import circminer_tpu
     circminer_tpu.enable_compilation_cache()
 
-    n_reads = args.n_reads or (500 if args.smoke else 20_000)
-    genome_len = args.genome_len or (100_000 if args.smoke else 5_000_000)
+    if args.chr21:
+        n_reads = args.n_reads or 1_000_000
+        genome_len = args.genome_len or 47_000_000
+        dup_frac = 0.05
+    else:
+        n_reads = args.n_reads or (500 if args.smoke else 20_000)
+        genome_len = args.genome_len or (100_000 if args.smoke else 5_000_000)
+        dup_frac = 0.0
 
     from circminer_tpu.config import Config, CHIBSJ, CHI2BSJ, CONCRD
     from circminer_tpu.sim import make_genome, simulate_reads
@@ -65,7 +76,8 @@ def main():
     rng = np.random.default_rng(20260817)
     n_genes = max(3, genome_len // 60_000)
     t0 = time.time()
-    g = make_genome(rng, length=genome_len, n_genes=n_genes)
+    g = make_genome(rng, length=genome_len, n_genes=n_genes,
+                    dup_frac=dup_frac)
     cfg = Config(kmer=20, max_read_len=120)
 
     import tempfile

@@ -53,8 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-Z", "--internal-sort", action="store_true")
     p.add_argument("-A", "--sam", action="store_true")
     p.add_argument("-P", "--pam", action="store_true")
-    p.add_argument("--device", choices=["tpu", "tpu-chain", "native", "host"],
-                   default="tpu",
+    p.add_argument("--device",
+                   choices=["auto", "tpu", "tpu-chain", "native", "host"],
+                   default="auto",
                    help="mapping executor: tpu = batched pipeline, device "
                         "seed lookup + native chain/filter (default); "
                         "tpu-chain = dense device chain DP; native = "
@@ -184,10 +185,10 @@ def _run_search_stages(args, cfg: Config) -> int:
         def conloc(chrname, s, e):
             return chrloc2conloc(db.chr2con, chrname, s, e)
 
-        if args.device in ("tpu", "tpu-chain", "native"):
+        if args.device in ("auto", "tpu", "tpu-chain", "native"):
             from .pipeline.device_pipeline import DeviceMappingPipeline
-            exec_map = {"tpu": "device", "tpu-chain": "device-chain",
-                        "native": "native"}
+            exec_map = {"auto": "auto", "tpu": "device",
+                        "tpu-chain": "device-chain", "native": "native"}
             pipe = DeviceMappingPipeline(db, gi, cfg,
                                          chain_exec=exec_map[args.device])
             pipe.warmup()
@@ -218,12 +219,13 @@ def _run_search_stages(args, cfg: Config) -> int:
         print(f"[INFO] mapping done: {n} pairs", file=sys.stderr)
 
     if cfg.stage != 0:
-        from .io.fastq import FastqReader
-        import itertools
+        from .io.fastq import iter_sorted_remain
         r1p = f"{args.output}_{last_round}_remain_R1.fastq"
         r2p = f"{args.output}_{last_round}_remain_R2.fastq"
-        recs = list(zip(FastqReader(r1p, cfg), FastqReader(r2p, cfg)))
-        recs.sort(key=lambda pr: pr[0].mr.genome_spos)
+        # external chunk-sort + k-way merge by default (the reference's GNU
+        # sort subprocess, process_circ.cpp:179-193); -Z sorts in memory
+        recs = iter_sorted_remain(r1p, r2p, cfg,
+                                  internal=cfg.internal_sort)
         pc = ProcessCirc(db, gi, cfg, args.output)
         pc.run(recs)
         pc.report_events(args.output + ".circ_report")

@@ -10,6 +10,7 @@ byte-compatibly with the reference.
 from __future__ import annotations
 
 import gzip
+import os
 from typing import Iterator, Optional, TextIO, Tuple
 
 import numpy as np
@@ -34,11 +35,14 @@ def _open(path: str):
 def parse_map_comment(tokens, mr: MatchedRead, max_ed: int):
     """fill_map_info (fastq_parser.cpp:203-269)."""
     if len(tokens) != FQCOMMENTCNT:
+        # no carried state: the fields set here equal MatchedRead.default(),
+        # so the record stays untouched (batch engines use the fast path)
         mr.type = NOPROC_NOMATCH
         mr.tlen = INF
         mr.junc_num = 0
         mr.gm_compatible = False
         return
+    mr.touched = True
     mr.type = int(tokens[2])
     if mr.type in _STATEFUL_TYPES:
         mr.genome_spos = int(tokens[1])
@@ -87,6 +91,11 @@ def format_map_comment(mr: MatchedRead, chrloc2conloc=None) -> str:
         if chrloc2conloc is not None:
             _, con_spos, _ = chrloc2conloc(mr.chr_r1, mr.spos_r1, mr.epos_r1)
             gspos = mr.contig_num * DEF_CONTIG_SIZE + con_spos
+        elif mr.genome_spos:
+            # re-spill of an already-carried record (external sort chunks):
+            # keep the original sort key instead of recomputing it from
+            # chromosome coordinates without the chr->contig shift
+            gspos = mr.genome_spos
         r1d = "+" if mr.r1_forward else "-"
         r2d = "+" if mr.r2_forward else "-"
         return (f" {gspos} {mr.type} "
@@ -139,6 +148,68 @@ def read_pairs(path1: str, path2: str, cfg: Config
         if r2 is None:
             raise ValueError("R1/R2 FASTQ length mismatch")
         yield r1, r2
+
+
+def iter_sorted_remain(r1_path: str, r2_path: str, cfg: Config,
+                       internal: bool = False, chunk_pairs: int = 200_000,
+                       workdir: str = None):
+    """Stream the circ-stage remain FASTQ pair sorted by genome_spos.
+
+    Replaces the reference's GNU ``sort`` subprocess / in-memory fallback
+    (process_circ.cpp:127-193): with ``internal`` the whole set is sorted in
+    RAM (the -Z flag); otherwise pairs are chunk-sorted and spilled to disk
+    remain-files, then streamed back through a k-way heap merge, so memory
+    stays bounded by ``chunk_pairs`` regardless of candidate count.
+    """
+    import heapq
+    import itertools
+    import shutil
+    import tempfile
+
+    src = zip(FastqReader(r1_path, cfg), FastqReader(r2_path, cfg))
+    if internal:
+        recs = list(src)
+        recs.sort(key=lambda pr: pr[0].mr.genome_spos)
+        yield from recs
+        return
+
+    first = list(itertools.islice(src, chunk_pairs))
+    first.sort(key=lambda pr: pr[0].mr.genome_spos)
+    second = list(itertools.islice(src, chunk_pairs))
+    if not second:
+        # common case: fits in one chunk — no spill
+        yield from first
+        return
+
+    tmpdir = tempfile.mkdtemp(prefix="circminer_sort_", dir=workdir)
+    try:
+        n_chunks = 0
+
+        def spill(recs):
+            nonlocal n_chunks
+            w = RemainWriter(os.path.join(tmpdir, "chunk"), n_chunks)
+            for r1, r2 in recs:
+                w.write(r1, r2, r1.mr)
+            w.close()
+            n_chunks += 1
+            return w.p1, w.p2
+
+        paths = [spill(first)]
+        second.sort(key=lambda pr: pr[0].mr.genome_spos)
+        paths.append(spill(second))
+        while True:
+            chunk = list(itertools.islice(src, chunk_pairs))
+            if not chunk:
+                break
+            chunk.sort(key=lambda pr: pr[0].mr.genome_spos)
+            paths.append(spill(chunk))
+
+        streams = [zip(FastqReader(p1, cfg), FastqReader(p2, cfg))
+                   for p1, p2 in paths]
+        yield from heapq.merge(
+            *streams, key=lambda pr: pr[0].mr.genome_spos)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 class RemainWriter:

@@ -135,7 +135,7 @@ class NativeChainer:
         out_score = np.zeros((R, C), dtype=np.float64)
         out_n = np.zeros(R, dtype=np.int32)
         if n_threads is None:
-            n_threads = max(1, (os.cpu_count() or 1) - 1)
+            n_threads = max(1, os.cpu_count() or 1)
         self.lib.batch_chain(
             np.ascontiguousarray(pos, dtype=np.int32),
             np.ascontiguousarray(np.minimum(cnt, cap), dtype=np.int32),
@@ -171,7 +171,7 @@ class NativeChainer:
         out_score = np.zeros((R, C), dtype=np.float64)
         out_n = np.zeros(R, dtype=np.int32)
         if n_threads is None:
-            n_threads = max(1, (os.cpu_count() or 1) - 1)
+            n_threads = max(1, os.cpu_count() or 1)
         lib.batch_extract_kbest(
             np.ascontiguousarray(dp10, dtype=np.int32),
             np.ascontiguousarray(back, dtype=np.int32),

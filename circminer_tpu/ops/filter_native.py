@@ -171,6 +171,7 @@ class NativeFilter:
     @staticmethod
     def state_to_mr(st: np.ndarray, mr, chr_names: List[str]):
         """int64[MR_FIELDS] row -> MatchedRead fields in place."""
+        mr.touched = True
         mr.type = int(st[0])
         mr.spos_r1, mr.epos_r1 = int(st[1]), int(st[2])
         mr.qspos_r1, mr.qepos_r1 = int(st[3]), int(st[4])
@@ -201,7 +202,7 @@ class NativeFilter:
         C = ch_clen.shape[1]
         NL = ch_rpos.shape[2]
         if n_threads is None:
-            n_threads = max(1, (os.cpu_count() or 1) - 1)
+            n_threads = max(1, os.cpu_count() or 1)
         self.lib.batch_filter_pe(
             np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens), n, L,
             _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),
@@ -223,7 +224,7 @@ class NativeFilter:
         NL = ch_rpos.shape[2]
         out = np.zeros(n, dtype=np.int32)
         if n_threads is None:
-            n_threads = max(1, (os.cpu_count() or 1) - 1)
+            n_threads = max(1, os.cpu_count() or 1)
         self.lib.batch_filter_se(
             np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens), n, L,
             _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),

@@ -68,7 +68,7 @@ def available() -> bool:
 
 
 def _nthreads() -> int:
-    return max(1, (os.cpu_count() or 1) - 1)
+    return max(1, os.cpu_count() or 1)
 
 
 class NativeSeeder:

@@ -81,6 +81,24 @@ class RegionalHashTable:
             return np.zeros(0, dtype=np.int64)
         return self._locs[lo:hi]
 
+    def find_batch(self, hv_arr: np.ndarray, seed_lim: int):
+        """Vectorized find over many hashes: returns (pos [NL, cap] int32
+        0-based gene-local, cnt [NL] int32) with the same MAXHIT and
+        seed_lim drops as the scalar path (counts above either limit
+        become empty lists)."""
+        lo = np.searchsorted(self._hv, hv_arr, "left")
+        hi = np.searchsorted(self._hv, hv_arr, "right")
+        cnt = (hi - lo).astype(np.int64)
+        cnt[(cnt > MAXHIT) | (cnt > seed_lim)] = 0
+        cap = max(1, int(cnt.max()) if len(cnt) else 1)
+        offs = np.arange(cap, dtype=np.int64)
+        idx = np.minimum(lo[:, None] + offs[None, :], len(self._locs) - 1) \
+            if len(self._locs) else np.zeros((len(lo), cap), np.int64)
+        pos = self._locs[idx] if len(self._locs) else \
+            np.zeros((len(lo), cap), np.int64)
+        mask = offs[None, :] < cnt[:, None]
+        return np.where(mask, pos, 0).astype(np.int32), cnt.astype(np.int32)
+
 
 class ProcessCirc:
     def __init__(self, db, gi, cfg: Config, output_prefix: str):
@@ -117,6 +135,13 @@ class ProcessCirc:
         self.ext = TransExtension(self.db, contig, self.genome, self.cfg,
                                   EDIT_ALIGNMENT)
         self.ctx = cat.RuleContext(self.db, contig, self.cfg)
+        # native batched chainer for the gene-local re-chaining (same
+        # event-order semantics as chain_seeds_host; None -> python oracle)
+        try:
+            from ..ops.chain_native import NativeChainer
+            self.nchainer = NativeChainer(self.db.contigs[contig], self.cfg)
+        except Exception:
+            self.nchainer = None
 
     def _pac2str(self, start: int, length: int) -> str:
         s = self.genome.get(start, length)
@@ -139,28 +164,38 @@ class ProcessCirc:
 
     # --- chaining over the gene (process_circ.cpp:678-737) ---
     def chaining(self, qspos: int, qepos: int, ht: RegionalHashTable,
-                 remain_seq: np.ndarray, shift: int) -> List[Chain]:
+                 remain_seq: np.ndarray, shift: int,
+                 h: Optional[np.ndarray] = None) -> List[Chain]:
         w = self.window_size
         seq_len = qepos - qspos + 1
         if seq_len < w:
             return []
-        qpos_list = []
-        seed_lists = []
-        h = kmer_hashes(remain_seq, w)
-        for i in range(qspos - 1, qepos - w + 1, self.step):
-            hv = int(h[i]) if i < len(h) else -1
-            if hv < 0:
-                continue  # N inside kmer
-            locs = ht.find(hv)
-            if len(locs) > self.cfg.seed_lim:
-                locs = np.zeros(0, dtype=np.int64)
-            qpos_list.append(i)
-            seed_lists.append(locs)
-        if not qpos_list:
+        if h is None:
+            h = kmer_hashes(remain_seq, w)
+        idx = np.arange(qspos - 1, qepos - w + 1, self.step)
+        idx = idx[idx < len(h)]
+        hv_arr = h[idx]
+        ok = hv_arr >= 0
+        qpos_arr = idx[ok].astype(np.int32)
+        if len(qpos_arr) == 0:
             return []
-        chains = chain_seeds_host(qepos, np.array(qpos_list), seed_lists,
-                                  self.cfg, self.db, self.contig,
-                                  kmer=w, shift=shift)
+        if self.nchainer is not None:
+            pos_b, cnt_b = ht.find_batch(hv_arr[ok], self.cfg.seed_lim)
+            rp, qp, cl, sc, n = self.nchainer.chain_batch(
+                pos_b[None], cnt_b[None], qpos_arr[None],
+                np.array([qepos], np.int32), k=w, shift=shift, n_threads=1)
+            from ..ops.chain_native import NativeChainer
+            chains = NativeChainer.to_chains(rp[0], qp[0], cl[0], sc[0],
+                                             n[0], w)
+        else:
+            seed_lists = [ht.find(int(hv)) for hv in hv_arr[ok]]
+            seed_lists = [
+                (s if len(s) <= self.cfg.seed_lim
+                 else np.zeros(0, dtype=np.int64)) for s in seed_lists]
+            chains = chain_seeds_host(qepos, qpos_arr.astype(np.int64),
+                                      seed_lists, self.cfg, self.db,
+                                      self.contig, kmer=w, shift=shift)
+        qpos_list = qpos_arr
         # keep the prefix of chains with non-increasing missed-kmer count
         # (process_circ.cpp:716-736)
         kmer_cnt = len(qpos_list)
@@ -682,13 +717,14 @@ class ProcessCirc:
             return
         ca = self.db.contigs[self.contig]
         best_cr = CircRes(type=NF)
+        h_remain = kmer_hashes(remain, self.window_size)
         for e in range(int(ca.gv_seg_off[gene_iv]),
                        int(ca.gv_seg_off[gene_iv + 1])):
             gs = int(ca.gv_gene_start[e])
             ge = int(ca.gv_gene_end[e])
             gid = int(ca.gv_gene_id[e])
             ht = self.get_hash_table(gs, ge, gid)
-            chains = self.chaining(qspos, qepos, ht, remain, gs)
+            chains = self.chaining(qspos, qepos, ht, remain, gs, h=h_remain)
             if not chains:
                 continue
             forward = mr.r1_forward if r1_partial else mr.r2_forward
@@ -752,14 +788,18 @@ class ProcessCirc:
         mm_r2 = MatchedMate.from_matched_read(mr, 2, rec2.seq_len, True)
         ca = self.db.contigs[self.contig]
         best_cr = CircRes(type=NF)
+        h_r1 = kmer_hashes(r1_remain, self.window_size)
+        h_r2 = kmer_hashes(r2_remain, self.window_size)
         for e in range(int(ca.gv_seg_off[gene_iv]),
                        int(ca.gv_seg_off[gene_iv + 1])):
             gs = int(ca.gv_gene_start[e])
             ge = int(ca.gv_gene_end[e])
             gid = int(ca.gv_gene_id[e])
             ht = self.get_hash_table(gs, ge, gid)
-            bc1 = self.chaining(r1_qspos, r1_qepos, ht, r1_remain, gs)
-            bc2 = self.chaining(r2_qspos, r2_qepos, ht, r2_remain, gs)
+            bc1 = self.chaining(r1_qspos, r1_qepos, ht, r1_remain, gs,
+                                h=h_r1)
+            bc2 = self.chaining(r2_qspos, r2_qepos, ht, r2_remain, gs,
+                                h=h_r2)
             if not bc1 and not bc2:
                 continue
             if not bc1 or not bc2:

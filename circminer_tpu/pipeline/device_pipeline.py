@@ -29,6 +29,7 @@ an RTT and small fetches are latency-bound):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Iterable, List, Optional, Tuple
 
@@ -129,27 +130,31 @@ def _numpy_seeder(ci, cfg):
 
 class DeviceMappingPipeline:
     """chain_exec selects the seed-lookup + chaining executor:
-      - "device" (default): seed lookup on the accelerator (index resident
-        in HBM, one fused bisect dispatch per batch) + sparse k-best chain
-        DP in host C++.  Measured fastest on this class of host/chip: the
-        lookup is a wide data-parallel bisect (0.1 ms on-chip for 16K reads
-        vs 35 ms in host C++) while the chain DP is a tiny sparse pointer
-        workload whose dense [S, M] device formulation does ~1000x the
-        arithmetic of the sparse host loop (see HW_NOTES.md measurements),
+      - "auto" (default): measure one warm device-lookup round-trip against
+        one host C++ lookup at warmup and pick the faster.  On a normally
+        attached TPU (PCIe/ICI, GB/s d2h) the device lookup wins by orders
+        of magnitude (0.1 ms on-chip for 16K reads vs 35-115 ms in host
+        C++); behind a slow tunnel the d2h fetch dominates and the host path
+        wins — see HW_NOTES.md for the measurements,
+      - "device": seed lookup on the accelerator (index resident in HBM,
+        one fused bisect dispatch per batch) + sparse k-best chain DP in
+        host C++ (the chain DP is a tiny sparse pointer workload whose
+        dense [S, M] device formulation does ~1000x the arithmetic of the
+        sparse host loop),
       - "device-chain": lookup AND dense chain DP on the accelerator (the
         all-HBM formulation the multi-chip sharded step uses),
       - "native": everything on host C++.
     """
 
     def __init__(self, db, gi, cfg: Config, batch_size: int = 4096,
-                 seg_pad: int = 16, chain_exec: str = "device"):
+                 seg_pad: int = 16, chain_exec: str = "auto"):
         self.db = db
         self.gi = gi
         self.cfg = cfg
         self.batch = batch_size
         self.seg_pad = seg_pad
         from ..ops.chain_native import available as _chain_avail
-        if chain_exec in ("native", "device") and not _chain_avail():
+        if chain_exec in ("native", "device", "auto") and not _chain_avail():
             chain_exec = "device-chain"
         self.chain_exec = chain_exec
         self.states: List[ContigDeviceState] = []
@@ -164,14 +169,14 @@ class DeviceMappingPipeline:
             except Exception:
                 seeder = _numpy_seeder(ci, cfg)
             st = ContigDeviceState(anno=anno, seeder=seeder)
-            if chain_exec in ("device", "device-chain"):
+            if chain_exec in ("device", "device-chain", "auto"):
                 st.entry_hv = jnp.asarray(ci.entry_hv)
                 st.entry_checksum = jnp.asarray(
                     ci.entry_checksum.astype(np.int32))
                 st.entry_pos = jnp.asarray(ci.entry_pos)
             self.states.append(st)
             self.mappers.append(Mapper(db, c, ci.codes, cfg, seeder=None))
-            if chain_exec in ("native", "device"):
+            if chain_exec in ("native", "device", "auto"):
                 from ..ops.chain_native import NativeChainer
                 self.chainers.append(NativeChainer(db.contigs[c], cfg))
             else:
@@ -211,7 +216,7 @@ class DeviceMappingPipeline:
     def dispatch_lookup(self, recs, contig: int):
         cfg = self.cfg
         st = self.states[contig]
-        if self.chain_exec in ("device", "device-chain"):
+        if self.chain_exec in ("device", "device-chain", "auto"):
             # pad to the compiled batch shape so the last partial batch
             # reuses the warm executable
             seqs, lens = self._encode(recs, pad_rows=4 * self.batch)
@@ -268,7 +273,7 @@ class DeviceMappingPipeline:
     def dispatch_chain(self, lf):
         if "dev_lookup" in lf:
             lf = self._fetch_lookup(lf)
-        if self.chain_exec in ("native", "device"):
+        if self.chain_exec in ("native", "device", "auto"):
             return self._chain_native(lf)
         cfg = self.cfg
         st = self.states[lf["contig"]]
@@ -430,10 +435,18 @@ class DeviceMappingPipeline:
         """Shared native finish: chains -> extension + categories in C++."""
         from ..ops.filter_native import NativeFilter
         nf = self.filters[contig]
-        with T.phase("filter_assemble"):
-            mr_state = np.ascontiguousarray(np.stack([
-                NativeFilter.mr_to_state(r1.mr, nf.chr_names)
-                for r1, _ in recs]))
+        with T.phase("filter_state"):
+            # untouched MatchedReads hold exactly the default() state — a
+            # single tiled row replaces per-read field serialization
+            from .types import MatchedRead
+            default_row = NativeFilter.mr_to_state(
+                MatchedRead.default(self.cfg.max_ed), nf.chr_names)
+            mr_state = np.tile(default_row, (len(recs), 1))
+            for i, (r1, _) in enumerate(recs):
+                if r1.mr.touched:
+                    mr_state[i] = NativeFilter.mr_to_state(r1.mr,
+                                                           nf.chr_names)
+            mr_state = np.ascontiguousarray(mr_state)
         with T.phase("filter_native"):
             nf.filter_pe(seqs, lens, rp_f, qp_f, cl_f, sc_f,
                          cn_f, hh, mr_state)
@@ -504,7 +517,7 @@ class DeviceMappingPipeline:
     # ---- full stream mapping with 2-deep software pipelining ----
     def map_stream(self, pairs: Iterable[Tuple[ReadRecord, ReadRecord]],
                    out=None, remain=None, conloc=None,
-                   contig: int = 0) -> int:
+                   contig: int = 0, emit=None) -> int:
         cfg = self.cfg
         n_total = 0
 
@@ -529,73 +542,125 @@ class DeviceMappingPipeline:
             if upcoming is not None:
                 lf = self.dispatch_lookup(upcoming, contig)  # overlaps device
             if pending_chain is not None:
-                self._finalize(pending_chain, out, remain, conloc)
+                self._finalize(pending_chain, out, remain, conloc, emit)
                 n_total += len(pending_chain["recs"])
             pending_chain = cf
             nxt = upcoming
         if pending_chain is not None:
-            self._finalize(pending_chain, out, remain, conloc)
+            self._finalize(pending_chain, out, remain, conloc, emit)
             n_total += len(pending_chain["recs"])
         return n_total
 
     def map_stream_all_contigs(self, pairs, out=None, remain=None,
-                               conloc=None) -> int:
-        """Multi-contig mapping: one pass per contig over the materialized
-        pair list, carrying best-so-far state in MatchedRead (the TPU
-        replacement for the reference's per-contig remain-FASTQ rounds,
-        circminer.cpp:229-308)."""
-        pair_list = list(pairs)
-        for contig in range(len(self.states)):
-            if self.cfg.scan_level == 0 and contig > 0:
-                todo = [pr for pr in pair_list if pr[0].mr.type != CONCRD]
-            else:
-                todo = pair_list
-            if todo:
-                self.map_stream(iter(todo), out=None, remain=None,
-                                conloc=None, contig=contig)
-        # emit once, after every contig has had its shot
-        for r1, r2 in pair_list:
-            if out is not None and out.fmt:
-                if out.fmt == "pam":
-                    out.write_pam_pe(r1, r2)
-                else:
-                    out.write_sam_pe(r1, r2)
-            if remain is not None and r1.mr.type in (CHIBSJ, CHI2BSJ):
-                remain.write(r1, r2, r1.mr, conloc)
-        return len(pair_list)
+                               conloc=None, workdir: Optional[str] = None
+                               ) -> int:
+        """Streaming multi-contig mapping: one pass per contig, carrying
+        unresolved reads between rounds through on-disk remain-FASTQ files
+        with the best-so-far state in their 23-token headers — the
+        reference's round mechanism (circminer.cpp:229-308,
+        filter.cpp:413-455) — so memory stays bounded by the batch size,
+        not the library size.  Reads finalized early (scan_level 0 CONCRD)
+        are emitted as they resolve."""
+        import shutil
+        import tempfile
+        n_contigs = len(self.states)
+        if n_contigs == 1:
+            return self.map_stream(pairs, out=out, remain=remain,
+                                   conloc=conloc, contig=0)
+        from ..io.fastq import RemainWriter, read_pairs
+        cfg = self.cfg
+        tmpdir = workdir or tempfile.mkdtemp(prefix="circminer_rounds_")
+        own_tmp = workdir is None
+        os.makedirs(tmpdir, exist_ok=True)
+        n_total = 0
+        src = pairs
+        try:
+            for c in range(n_contigs):
+                last = c == n_contigs - 1
+                nxt = None if last else RemainWriter(
+                    os.path.join(tmpdir, "carry"), c + 1)
 
-    def _finalize(self, cf, out, remain, conloc):
+                def emit(r1, r2, last=last, nxt=nxt):
+                    final = last or (cfg.scan_level == 0
+                                     and r1.mr.type == CONCRD)
+                    if final:
+                        self._emit_pair(r1, r2, out, remain, conloc)
+                    else:
+                        nxt.write(r1, r2, r1.mr, conloc)
+
+                count = self.map_stream(src, contig=c, emit=emit)
+                if c == 0:
+                    n_total = count
+                if nxt is not None:
+                    nxt.close()
+                    src = read_pairs(nxt.p1, nxt.p2, cfg)
+        finally:
+            if own_tmp:
+                shutil.rmtree(tmpdir, ignore_errors=True)
+        return n_total
+
+    def _emit_pair(self, r1, r2, out, remain, conloc):
+        if out is not None and out.fmt:
+            if out.fmt == "pam":
+                out.write_pam_pe(r1, r2)
+            else:
+                out.write_sam_pe(r1, r2)
+        if remain is not None and r1.mr.type in (CHIBSJ, CHI2BSJ):
+            remain.write(r1, r2, r1.mr, conloc)
+
+    def _finalize(self, cf, out, remain, conloc, emit=None):
         self.finish(cf)
         for r1, r2 in cf["recs"]:
-            if out is not None and out.fmt:
-                if out.fmt == "pam":
-                    out.write_pam_pe(r1, r2)
-                else:
-                    out.write_sam_pe(r1, r2)
-            if remain is not None and r1.mr.type in (CHIBSJ, CHI2BSJ):
-                remain.write(r1, r2, r1.mr, conloc)
+            if emit is not None:
+                emit(r1, r2)
+            else:
+                self._emit_pair(r1, r2, out, remain, conloc)
+
+    def _dev_lookup_once(self, reads0, lens0, st):
+        cfg = self.cfg
+        packed = _lookup_even(
+            reads0, lens0, st.entry_hv, st.entry_checksum,
+            k=cfg.kmer, cs_len=cfg.checksum_len,
+            n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
+        return np.asarray(packed)
 
     def warmup(self):
-        """Execute every device executable shape (lookup + each (cap, chunk)
-        bucket) so no compile lands inside the streamed region.  No-op in
-        native mode (nothing to compile)."""
+        """Compile and exercise every device executable shape so no compile
+        (or first-transfer stall) lands inside the streamed region; in
+        "auto" mode, additionally time one warm device lookup round-trip
+        against one host C++ lookup on this hardware and pick the faster
+        executor.  No-op in native mode (nothing to compile)."""
         if self.chain_exec == "native":
             return
+        import time as _time
         cfg = self.cfg
         st = self.states[0]
         ad = st.anno
         NL = self.n_lists
         L = cfg.max_read_len
         R = 4 * self.batch
-        packed = _lookup_even(
-            jnp.zeros((R, L), jnp.int8), jnp.zeros(R, jnp.int32),
-            st.entry_hv, st.entry_checksum,
-            k=cfg.kmer, cs_len=cfg.checksum_len,
-            n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
-        # absorb the first d2h fetch here: on the tunneled backend the very
-        # first device->host transfer of a session can stall for seconds
-        # (see HW_NOTES.md); don't let it land inside the streamed region
-        np.asarray(packed)
+        reads0 = jnp.zeros((R, L), jnp.int8)
+        lens0 = jnp.zeros(R, jnp.int32)
+        # compile + absorb the first d2h fetch: on tunneled backends the
+        # very first device->host transfer of a session can stall for
+        # minutes (see HW_NOTES.md)
+        self._dev_lookup_once(reads0, lens0, st)
+        if self.chain_exec == "auto":
+            t0 = _time.time()
+            self._dev_lookup_once(reads0, lens0, st)
+            dev_s = _time.time() - t0
+            reads_h = np.zeros((R, L), np.int8)
+            lens_h = np.zeros(R, np.int32)
+            t0 = _time.time()
+            st.seeder.lookup(reads_h, lens_h)
+            host_s = _time.time() - t0
+            self.chain_exec = "device" if dev_s < host_s else "native"
+            import sys
+            sys.stderr.write(
+                f"[pipeline] auto executor: device lookup {dev_s*1e3:.0f} ms"
+                f" vs host {host_s*1e3:.0f} ms per batch -> "
+                f"{self.chain_exec}\n")
+            return
         if self.chain_exec != "device-chain":
             return
         for cap in self._caps():

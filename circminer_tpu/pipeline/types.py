@@ -130,6 +130,9 @@ class MatchedRead:
     genome_spos: int = 0
     chr_r1: str = "-"
     chr_r2: str = "-"
+    # touched=False means the record still holds exactly the default() state
+    # (lets batch engines skip per-field serialization for fresh reads)
+    touched: bool = False
 
     @classmethod
     def default(cls, max_ed: int) -> "MatchedRead":
@@ -180,6 +183,7 @@ class MatchedRead:
         whether the first argument is actually read 1)."""
         if not self.go_for_update(r1, r2, tlen, gm_compatible, type_):
             return False
+        self.touched = True
         self.type = type_
         self.chr_r1 = chr_
         self.chr_r2 = chr_
@@ -203,5 +207,6 @@ class MatchedRead:
     def update_type(self, type_: int) -> bool:
         if type_ < self.type:
             self.type = type_
+            self.touched = True
             return True
         return False

@@ -70,8 +70,20 @@ def make_genome(rng: np.random.Generator, length: int = 100_000,
                 n_genes: int = 4, exons_per_gene: int = 5,
                 exon_len: Tuple[int, int] = (150, 400),
                 intron_len: Tuple[int, int] = (200, 800),
-                chrom: str = "chr1") -> SimGenome:
-    seq = "".join(rng.choice(list(BASES), size=length))
+                chrom: str = "chr1", dup_frac: float = 0.0) -> SimGenome:
+    codes = rng.integers(0, 4, size=length, dtype=np.uint8)
+    # segmental duplications for realistic seed multiplicity: copy random
+    # 1-5 kb windows over random destinations until ~dup_frac of the genome
+    # is repeated content
+    if dup_frac > 0:
+        dup_total = 0
+        while dup_total < dup_frac * length:
+            dl = int(rng.integers(1000, 5001))
+            src = int(rng.integers(0, max(1, length - dl)))
+            dst = int(rng.integers(0, max(1, length - dl)))
+            codes[dst:dst + dl] = codes[src:src + dl]
+            dup_total += dl
+    seq = np.frombuffer(b"ACGT", np.uint8)[codes].tobytes().decode()
     genes: List[SimGene] = []
     gene_gap = length // (n_genes + 1)
     pos = gene_gap // 2
@@ -105,14 +117,23 @@ def circular_seq(g: SimGenome, t: SimTranscript, i0: int, i1: int) -> str:
     return "".join(g.seq[s - 1:e] for s, e in t.exons[i0:i1 + 1])
 
 
+_A2C = np.full(256, 0, np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _A2C[_b] = _i
+_C2A = np.frombuffer(b"ACGT", np.uint8)
+
+
 def _mutate(rng, s: str, rate: float) -> str:
     if rate <= 0:
         return s
-    out = list(s)
-    for i in range(len(out)):
-        if rng.random() < rate:
-            out[i] = BASES[(BASES.index(out[i]) + int(rng.integers(1, 4))) % 4]
-    return "".join(out)
+    a = np.frombuffer(s.encode(), np.uint8)
+    hit = rng.random(a.shape[0]) < rate
+    n_hit = int(hit.sum())
+    if n_hit == 0:
+        return s
+    c = _A2C[a].copy()
+    c[hit] = (c[hit] + rng.integers(1, 4, size=n_hit).astype(np.uint8)) % 4
+    return _C2A[c].tobytes().decode()
 
 
 @dataclasses.dataclass
