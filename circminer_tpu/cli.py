@@ -107,6 +107,8 @@ def run_index(args, cfg: Config) -> int:
 
 def run_search(args, cfg: Config) -> int:
     import contextlib
+    from .utils.logging import set_trace_level
+    set_trace_level(args.verbosity)
     from .io.fasta import GenomePacker, chrloc2conloc
     from .io.fastq import read_pairs, RemainWriter
     from .index.build import load_genome_index

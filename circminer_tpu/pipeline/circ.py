@@ -32,6 +32,7 @@ from .types import MatchedMate, MatchedRead
 from .extend import TransExtension, GenomeView, AlignRes, EDIT_ALIGNMENT
 from .mapping import ReadRecord
 from . import categories as cat
+from ..utils import logging as ulog
 
 MAXHIT = 1000     # hash_table.cpp:6
 TOPCHAIN = 10     # process_circ.cpp:19
@@ -148,19 +149,28 @@ class ProcessCirc:
         return decode_seq(s) if s is not None else "N" * length
 
     # --- per-gene hash table (process_circ.cpp:832-889) ---
+    def check_removables(self, spos: int) -> None:
+        """Evict cached gene tables whose gene ends before the current
+        read position (process_circ.cpp:805-812): the candidate stream is
+        position-sorted, so genes left behind never recur."""
+        if not self._ht_cache:
+            return
+        dead = [gid for gid, (_, ge) in self._ht_cache.items() if ge < spos]
+        for gid in dead:
+            del self._ht_cache[gid]
+
     def get_hash_table(self, gene_start: int, gene_end: int,
                        gene_id: int) -> RegionalHashTable:
-        ht = self._ht_cache.get(gene_id)
-        if ht is None:
+        ent = self._ht_cache.get(gene_id)
+        if ent is None:
             gene_len = gene_end - gene_start + 1
             seq = self.genome.get(gene_start, gene_len)
             if seq is None:
                 seq = np.zeros(0, dtype=np.int8)
             ht = RegionalHashTable(self.window_size, seq, self.cfg.seed_lim)
-            self._ht_cache[gene_id] = ht
-            if len(self._ht_cache) > 64:
-                self._ht_cache.pop(next(iter(self._ht_cache)))
-        return ht
+            self._ht_cache[gene_id] = (ht, gene_end)
+            return ht
+        return ent[0]
 
     # --- chaining over the gene (process_circ.cpp:678-737) ---
     def chaining(self, qspos: int, qepos: int, ht: RegionalHashTable,
@@ -662,6 +672,7 @@ class ProcessCirc:
         self.r1_seq = self.r2_seq = None
         self.fullmap_seq_len = self.remain_seq_len = 0
         self.r1_seq_len = self.r2_seq_len = 0
+        self.check_removables(rec1.mr.spos_r1)
         if rec1.mr.type == CHIBSJ:
             self.call_circ_single_split(rec1, rec2)
         elif rec1.mr.type == CHI2BSJ:
@@ -760,6 +771,9 @@ class ProcessCirc:
                         return
         if CR <= best_cr.type <= MCR:
             self.circ_res.append(best_cr)
+        if ulog.TRACE_LEVEL >= 1:
+            ulog.vaf(1, "circ %s: best type %d at %d-%d", rec1.rname,
+                     best_cr.type, best_cr.spos, best_cr.epos)
 
     def call_circ_double_split(self, rec1: ReadRecord, rec2: ReadRecord):
         cfg = self.cfg

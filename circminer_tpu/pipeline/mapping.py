@@ -26,6 +26,7 @@ from ..ops.encode import revcomp
 from ..io.fasta import get_shift
 from .types import MatchedMate, MatchedRead
 from .extend import TransExtension, GenomeView
+from ..utils import logging as ulog
 from . import categories as cat
 
 
@@ -322,6 +323,10 @@ class Mapper:
             att2 = self.process_mates(fc_r1, rec1, bc_r2, rec2, mr, True)
             if cfg.scan_level == 0 and att2 == CONCRD:
                 return CONCRD
+        if ulog.TRACE_LEVEL >= 1:  # per-read decision trace (vafprintf lvl 1)
+            ulog.vaf(1, "%s: type %d chains %d/%d/%d/%d spos %d-%d",
+                     rec1.rname, mr.type, len(fc_r1), len(bc_r1),
+                     len(fc_r2), len(bc_r2), mr.spos_r1, mr.epos_r1)
         return mr.type
 
 

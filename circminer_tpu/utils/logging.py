@@ -78,3 +78,28 @@ class Logger:
             self.stream.write("".join(self._buf))
             self.stream.flush()
             self._buf.clear()
+
+# --- per-read verbose trace channel (the reference's vafprintf,
+# common.h:520-541: `make verbose` activates leveled per-read diagnostics;
+# here the level comes from the -d/--verbosity CLI flag or the
+# CIRCMINER_VERBOSE env var, no rebuild needed) ---------------------------
+
+import os as _os
+
+TRACE_LEVEL = int(_os.environ.get("CIRCMINER_VERBOSE", "0"))
+
+
+def set_trace_level(level: int) -> None:
+    global TRACE_LEVEL
+    TRACE_LEVEL = int(level)
+
+
+def vaf(verbosity: int, msg: str, *args) -> None:
+    """vafprintf equivalent: emit when TRACE_LEVEL >= verbosity.
+
+    Callers must guard hot paths with ``if TRACE_LEVEL >= v`` themselves to
+    keep the disabled cost at one global read."""
+    if TRACE_LEVEL >= verbosity:
+        if args:
+            msg = msg % args
+        sys.stderr.write(msg + "\n")
