@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mrsfast-format", action="store_true",
                    help="with --index: also write the reference's mrsFAST "
                         "binary index format for interop/parity checks")
+    p.add_argument("--coordinator",
+                   help="jax.distributed coordinator address (host:port) "
+                        "for multi-host runs; also via CIRCMINER_COORDINATOR")
+    p.add_argument("--num-hosts", type=int, default=None)
+    p.add_argument("--host-id", type=int, default=None)
     p.add_argument("--trace-dir",
                    help="write a jax.profiler (xprof) trace of the search "
                         "stages here (the reference's 'make profile' analog)")
@@ -132,8 +137,13 @@ def _run_search_stages(args, cfg: Config) -> int:
     from .pipeline.mapping import Mapper, make_host_seeder
     from .pipeline.output import SamOutput
     from .pipeline.circ import ProcessCirc
+    from .parallel.distributed import (maybe_initialize, stripe_pairs,
+                                       shard_output_prefix)
 
     import os
+    host_id, n_hosts = maybe_initialize(args.coordinator, args.num_hosts,
+                                        args.host_id)
+    out_prefix = shard_output_prefix(args.output, host_id, n_hosts)
     gp = GenomePacker(args.reference)
     info = gp.load_index_info()
     if os.path.exists(gp.index_fname + ".npz"):
@@ -181,12 +191,16 @@ def _run_search_stages(args, cfg: Config) -> int:
         return 0
 
     if cfg.stage != 1:
-        out = SamOutput(args.output, fmt, info)
-        remain = RemainWriter(args.output, last_round)
+        out = SamOutput(out_prefix, fmt, info)
+        remain = RemainWriter(out_prefix, last_round)
 
         def conloc(chrname, s, e):
             return chrloc2conloc(db.chr2con, chrname, s, e)
 
+        pair_src = read_pairs(args.seq1, args.seq2, cfg)
+        if n_hosts > 1:
+            # dp striping: host h maps pairs h, h+N, ... of the stream
+            pair_src = stripe_pairs(pair_src, host_id, n_hosts)
         if args.device in ("auto", "tpu", "tpu-chain", "native"):
             from .pipeline.device_pipeline import DeviceMappingPipeline
             exec_map = {"auto": "auto", "tpu": "device",
@@ -194,8 +208,7 @@ def _run_search_stages(args, cfg: Config) -> int:
             pipe = DeviceMappingPipeline(db, gi, cfg,
                                          chain_exec=exec_map[args.device])
             pipe.warmup()
-            n = pipe.map_stream_all_contigs(
-                read_pairs(args.seq1, args.seq2, cfg), out, remain, conloc)
+            n = pipe.map_stream_all_contigs(pair_src, out, remain, conloc)
         else:
             mappers = [
                 Mapper(db, c, gi.contigs[c].codes, cfg,
@@ -203,7 +216,7 @@ def _run_search_stages(args, cfg: Config) -> int:
                 for c in range(n_contigs)
             ]
             n = 0
-            for rec1, rec2 in read_pairs(args.seq1, args.seq2, cfg):
+            for rec1, rec2 in pair_src:
                 # single-pass over the whole resident index: process the
                 # read against every contig (replaces per-contig rounds)
                 for c, mapper in enumerate(mappers):
@@ -218,12 +231,30 @@ def _run_search_stages(args, cfg: Config) -> int:
                 n += 1
         out.close()
         remain.close()
+        if n_hosts > 1:  # completion sentinel for host 0's shard wait
+            with open(f"{out_prefix}_{last_round}_remain.done", "w"):
+                pass
         print(f"[INFO] mapping done: {n} pairs", file=sys.stderr)
 
     if cfg.stage != 0:
+        if n_hosts > 1:
+            # circ stage runs on host 0 over every host's remain shard
+            # (shared filesystem); other hosts are done after mapping
+            if host_id != 0:
+                return 0
+            r1p = [f"{shard_output_prefix(args.output, h, n_hosts)}"
+                   f"_{last_round}_remain_R1.fastq" for h in range(n_hosts)]
+            r2p = [p.replace("_R1.fastq", "_R2.fastq") for p in r1p]
+            import time as _t
+            for h in range(n_hosts):  # wait for stragglers on shared FS
+                done = (f"{shard_output_prefix(args.output, h, n_hosts)}"
+                        f"_{last_round}_remain.done")
+                while not os.path.exists(done):
+                    _t.sleep(1.0)
+        else:
+            r1p = f"{args.output}_{last_round}_remain_R1.fastq"
+            r2p = f"{args.output}_{last_round}_remain_R2.fastq"
         from .io.fastq import iter_sorted_remain
-        r1p = f"{args.output}_{last_round}_remain_R1.fastq"
-        r2p = f"{args.output}_{last_round}_remain_R2.fastq"
         # external chunk-sort + k-way merge by default (the reference's GNU
         # sort subprocess, process_circ.cpp:179-193); -Z sorts in memory
         recs = iter_sorted_remain(r1p, r2p, cfg,

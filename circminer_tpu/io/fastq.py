@@ -166,7 +166,12 @@ def iter_sorted_remain(r1_path: str, r2_path: str, cfg: Config,
     import shutil
     import tempfile
 
-    src = zip(FastqReader(r1_path, cfg), FastqReader(r2_path, cfg))
+    # multi-host runs pass per-host shard path lists (host 0 merges all)
+    r1_paths = [r1_path] if isinstance(r1_path, str) else list(r1_path)
+    r2_paths = [r2_path] if isinstance(r2_path, str) else list(r2_path)
+    src = itertools.chain.from_iterable(
+        zip(FastqReader(p1, cfg), FastqReader(p2, cfg))
+        for p1, p2 in zip(r1_paths, r2_paths))
     if internal:
         recs = list(src)
         recs.sort(key=lambda pr: pr[0].mr.genome_spos)
