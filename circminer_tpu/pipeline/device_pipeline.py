@@ -147,12 +147,22 @@ class DeviceMappingPipeline:
     """
 
     def __init__(self, db, gi, cfg: Config, batch_size: int = 4096,
-                 seg_pad: int = 16, chain_exec: str = "auto"):
+                 seg_pad: int = 16, chain_exec: str = "auto",
+                 extend_exec: str = "native"):
         self.db = db
         self.gi = gi
         self.cfg = cfg
         self.batch = batch_size
         self.seg_pad = seg_pad
+        # extension executor: "native" = per-read C++ finish engine
+        # (extension + categories, ops/filter_native.py), "device" = wave-
+        # batched extension (generators in lockstep, each wave solved as
+        # batched device DP dispatches — extend_batch.py/align_device.py)
+        self.extend_exec = extend_exec
+        self.align_svc = None
+        if extend_exec == "device":
+            from ..ops.align_device import DeviceAlignService
+            self.align_svc = DeviceAlignService(cfg)
         from ..ops.chain_native import available as _chain_avail
         if chain_exec in ("native", "device", "auto") and not _chain_avail():
             chain_exec = "device-chain"
@@ -351,9 +361,57 @@ class DeviceMappingPipeline:
 
     # ---- stage 3: fetch chains, finish on host ----
     def finish(self, cf) -> None:
+        if self.extend_exec == "device":
+            return self._finish_wave(cf)
         if cf.get("native"):
             return self._finish_native(cf)
         return self._finish_device(cf)
+
+    def _finish_wave(self, cf) -> None:
+        """Wave-batched finish: per-read generators run in lockstep, every
+        wave of inner alignments solved as batched device dispatches (the
+        TPU formulation of extend.cpp:37-125 / filter.cpp:244-395)."""
+        from .extend_batch import run_waves
+        cfg = self.cfg
+        recs = cf["recs"]
+        n = len(recs)
+        hh_h = cf["hh"]
+        k = cfg.kmer
+        chains_out: List = [None] * (4 * n)
+        if cf.get("native"):
+            from ..ops.chain_native import NativeChainer
+            for rows, rp, qp, cl, sc, cn in cf["parts"]:
+                for ri, r in enumerate(rows):
+                    if r < 4 * n:
+                        chains_out[r] = NativeChainer.to_chains(
+                            rp[ri], qp[ri], cl[ri], sc[ri], cn[ri], k)
+        else:
+            from ..ops.chain import extract_kbest
+            st = self.states[cf["contig"]]
+            for rows, cap, start_b, cnt_b, qpos_b, fut in cf["buckets"]:
+                with T.phase(f"chain_fetch_cap{cap}"):
+                    fut.block_until_ready()
+                    blob = np.asarray(fut).reshape(-1, self.n_lists, 2 * cap)
+                pos_b = st.seeder.gather(start_b, np.minimum(cnt_b, cap),
+                                         cap)
+                for ri, r in enumerate(rows):
+                    if r < 4 * n:
+                        chains_out[r] = extract_kbest(
+                            blob[ri, :, :cap], blob[ri, :, cap:], pos_b[ri],
+                            qpos_b[ri], cnt_b[ri], cfg)
+        mapper = self.mappers[cf["contig"]]
+        gens = []
+        with T.phase("wave_finish"):
+            for i, (r1, r2) in enumerate(recs):
+                if cfg.scan_level == 0 and r1.mr.type == CONCRD:
+                    continue
+                quad = []
+                for o in range(4):
+                    r = 4 * i + o
+                    ch = chains_out[r] if chains_out[r] is not None else []
+                    quad.append((ch, int(hh_h[r])))
+                gens.append(mapper.process_read_pe_g(r1, r2, tuple(quad)))
+            run_waves(gens, self.align_svc)
 
     def _finish_device(self, cf) -> None:
         """Fetch per-bucket DP results, extract k-best chains natively, and
@@ -630,6 +688,8 @@ class DeviceMappingPipeline:
         "auto" mode, additionally time one warm device lookup round-trip
         against one host C++ lookup on this hardware and pick the faster
         executor.  No-op in native mode (nothing to compile)."""
+        if self.align_svc is not None:
+            self.align_svc.warm()
         if self.chain_exec == "native":
             return
         import time as _time

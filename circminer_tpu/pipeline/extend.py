@@ -6,9 +6,28 @@ retention / plain genomic path) or by walking the exons of each candidate
 transcript (trans2seg rows), aligning within exons and soft-clip-aware at the
 ends, memoizing per-(rspos, rlen, qspos, qlen) alignment results.
 
-This is the host orchestration engine; the inner alignment calls go through
-ops.align (oracle) and are the unit that gets batched onto the TPU by the
-device pipeline.
+Execution model (TPU-first): every inner alignment is expressed as a
+*request* — the walk methods are generators that ``yield`` request tuples
+and receive results via ``send``.  Two drivers consume them:
+
+  - the inline driver (``run_gen``) answers each request immediately with
+    the scalar native-C++/oracle aligner — exact sequential semantics, used
+    by the public method wrappers (and thus by the circ stage),
+  - the wave scheduler (``pipeline/extend_batch.py``) runs thousands of
+    per-read generators in lockstep and solves each wave of requests as ONE
+    batched device dispatch (ops/align_device.py) — the TPU extension path.
+
+Both produce bit-identical results; parity is pinned per request kind
+(tests/test_align_device.py) and end-to-end (tests/test_extend_batch.py).
+
+Request tuples (kinds mirror align.cpp:556-723 / :219-252):
+  ("edit_sc_r", s, t)   -> (ed, sclen, indel, score)
+  ("edit_sc_l", s, t)   -> (ed, sclen, indel, score)
+  ("drop_sc_r", s, t)   -> (ed, sclen, indel, score)
+  ("drop_sc_l", s, t)   -> (ed, sclen, indel, score)
+  ("end_r",     s, t)   -> (ed, indel, score)        [local_alignment_right]
+  ("end_l",     s, t)   -> (ed, indel, score)
+  ("one_side",  s, t, w)-> ed                        [one-sided banded]
 """
 
 from __future__ import annotations
@@ -24,6 +43,81 @@ from .types import MatchedMate
 
 EDIT_ALIGNMENT = 1
 DROP_ALIGNMENT = 0
+
+
+def run_gen(gen, svc):
+    """Drive a request-yielding generator to completion, answering each
+    request immediately through ``svc.solve`` (the sequential path)."""
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(svc.solve(req))
+    except StopIteration as e:
+        return e.value
+
+
+class InlineAlignService:
+    """Answers alignment requests one at a time with the scalar kernels
+    (native C++ when available, else the numpy oracle) — identical
+    semantics to calling the aligner directly."""
+
+    def __init__(self, cfg: Config, sm: al.ScoreMat):
+        self.cfg = cfg
+        self.sm = sm
+        self.native = None
+        try:
+            from ..ops.align_native import NativeAligner
+            self.native = NativeAligner()
+        except Exception:
+            self.native = None
+
+    def solve(self, req):
+        kind = req[0]
+        s, t = req[1], req[2]
+        c = self.cfg
+        na = self.native
+        if kind == "edit_sc_r":
+            if na is not None:
+                return na.edit_local_alignment_right_sc(
+                    s, t, c.band_width, c.max_ed, c.max_sc)
+            return al.edit_local_alignment_right_sc(s, t, c.band_width,
+                                                    c.max_ed, c.max_sc)
+        if kind == "edit_sc_l":
+            if na is not None:
+                return na.edit_local_alignment_left_sc(
+                    s, t, c.band_width, c.max_ed, c.max_sc)
+            return al.edit_local_alignment_left_sc(s, t, c.band_width,
+                                                   c.max_ed, c.max_sc)
+        if kind == "drop_sc_r":
+            if na is not None:
+                return na.drop_local_alignment_right_sc(
+                    s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
+            return al.drop_local_alignment_right_sc(
+                s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
+        if kind == "drop_sc_l":
+            if na is not None:
+                return na.drop_local_alignment_left_sc(
+                    s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
+            return al.drop_local_alignment_left_sc(
+                s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
+        if kind == "end_r":
+            if na is not None:
+                return na.local_alignment_right(s, t, c.band_width,
+                                                c.max_ed, c.max_sc)
+            return al.local_alignment_right(s, t, c.band_width, c.max_ed,
+                                            c.max_sc)
+        if kind == "end_l":
+            if na is not None:
+                return na.local_alignment_left(s, t, c.band_width,
+                                               c.max_ed, c.max_sc)
+            return al.local_alignment_left(s, t, c.band_width, c.max_ed,
+                                           c.max_sc)
+        if kind == "one_side":
+            w = req[3]
+            if na is not None:
+                return na.global_one_side_banded_alignment(s, t, w)
+            return al.global_one_side_banded_alignment(s, t, w)
+        raise ValueError(f"unknown align request kind {kind!r}")
 
 
 @dataclasses.dataclass
@@ -117,14 +211,7 @@ class TransExtension:
         self.cfg = cfg
         self.align_type = align_type
         self.sm = al.ScoreMat()
-        # prefer the native C++ kernels; identical semantics to the oracle
-        # (pinned by tests/test_align_native.py)
-        self.native = None
-        try:
-            from ..ops.align_native import NativeAligner
-            self.native = NativeAligner()
-        except Exception:
-            self.native = None
+        self.svc = InlineAlignService(cfg, self.sm)
         # query context (used by the disabled intron-entry path; kept for
         # parity of the public interface)
         self.query_seq = None
@@ -132,60 +219,14 @@ class TransExtension:
         self.query_spos = 0
 
     # --- pluggable aligner (EditDist vs Drop; circminer.cpp:74-75) ---
-    def _local_right_sc(self, s, t):
-        c = self.cfg
-        na = self.native
+    def _sc_kind(self, right: bool) -> str:
         if self.align_type == EDIT_ALIGNMENT:
-            if na is not None:
-                return na.edit_local_alignment_right_sc(
-                    s, t, c.band_width, c.max_ed, c.max_sc)
-            return al.edit_local_alignment_right_sc(s, t, c.band_width,
-                                                    c.max_ed, c.max_sc)
-        if na is not None:
-            return na.drop_local_alignment_right_sc(
-                s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
-        return al.drop_local_alignment_right_sc(s, t, c.band_width, c.max_ed,
-                                                c.max_sc, self.sm)
-
-    def _local_left_sc(self, s, t):
-        c = self.cfg
-        na = self.native
-        if self.align_type == EDIT_ALIGNMENT:
-            if na is not None:
-                return na.edit_local_alignment_left_sc(
-                    s, t, c.band_width, c.max_ed, c.max_sc)
-            return al.edit_local_alignment_left_sc(s, t, c.band_width,
-                                                   c.max_ed, c.max_sc)
-        if na is not None:
-            return na.drop_local_alignment_left_sc(
-                s, t, c.band_width, c.max_ed, c.max_sc, self.sm)
-        return al.drop_local_alignment_left_sc(s, t, c.band_width, c.max_ed,
-                                               c.max_sc, self.sm)
-
-    def _local_right(self, s, t):
-        c = self.cfg
-        if self.native is not None:
-            return self.native.local_alignment_right(s, t, c.band_width,
-                                                     c.max_ed, c.max_sc)
-        return al.local_alignment_right(s, t, c.band_width, c.max_ed,
-                                        c.max_sc)
-
-    def _local_left(self, s, t):
-        c = self.cfg
-        if self.native is not None:
-            return self.native.local_alignment_left(s, t, c.band_width,
-                                                    c.max_ed, c.max_sc)
-        return al.local_alignment_left(s, t, c.band_width, c.max_ed,
-                                       c.max_sc)
-
-    def _one_side(self, s, t, w):
-        if self.native is not None:
-            return self.native.global_one_side_banded_alignment(s, t, w)
-        return al.global_one_side_banded_alignment(s, t, w)
+            return "edit_sc_r" if right else "edit_sc_l"
+        return "drop_sc_r" if right else "drop_sc_l"
 
     # --- middle edit distance along a chain (extend.cpp:878-920) ---
-    def calc_middle_ed(self, chain, edth: int, qseq: np.ndarray,
-                       qseq_len: int) -> int:
+    def calc_middle_ed_g(self, chain, edth: int, qseq: np.ndarray,
+                         qseq_len: int):
         if chain.chain_len == 0:
             return 0
         c = self.cfg
@@ -202,26 +243,30 @@ class TransExtension:
                     rseq = self.genome.get(rspos, rlen)
                     if rseq is None:
                         rseq = np.zeros(0, dtype=np.int8)
-                    mid_err += self._one_side(
-                        qseq[qspos:qspos + qlen], rseq, diff)
+                    mid_err += yield ("one_side",
+                                      qseq[qspos:qspos + qlen], rseq, diff)
                 elif -c.band_width <= diff < 0:
                     rseq = self.genome.get(rspos, rlen)
                     if rseq is None:
                         rseq = np.zeros(0, dtype=np.int8)
-                    mid_err += self._one_side(
-                        rseq, qseq[qspos:qspos + qlen], -diff)
+                    mid_err += yield ("one_side", rseq,
+                                      qseq[qspos:qspos + qlen], -diff)
                 if mid_err > edth:
                     return edth + 1
         return mid_err
 
+    def calc_middle_ed(self, chain, edth, qseq, qseq_len) -> int:
+        return run_gen(self.calc_middle_ed_g(chain, edth, qseq, qseq_len),
+                       self.svc)
+
     # --- per-exon middle/end alignments (extend.cpp:435-487, 653-705) ---
-    def _extend_right_middle(self, pos, exon_len, qseq, qseq_len, ed_th,
-                             best, curr, max_ed, max_sc):
+    def _extend_right_middle_g(self, pos, exon_len, qseq, qseq_len, ed_th,
+                               best, curr, max_ed, max_sc):
         ref_seq = self.genome.get(pos + 1, exon_len)
         if ref_seq is None:
             return False, None
         seq_remain = min(exon_len + self.cfg.band_width, qseq_len)
-        ed, indel, score = self._local_right(qseq[:seq_remain], ref_seq)
+        ed, indel, score = yield ("end_r", qseq[:seq_remain], ref_seq)
         new_rmpos = pos + exon_len
         exon_res = AlignRes(new_rmpos)
         exon_res.set(new_rmpos, ed, 0, -indel, exon_len - indel, score)
@@ -231,13 +276,13 @@ class TransExtension:
             return True, exon_res
         return False, exon_res
 
-    def _extend_right_end(self, pos, ref_len, qseq, qseq_len, ed_th,
-                          best, curr, max_ed, max_sc):
+    def _extend_right_end_g(self, pos, ref_len, qseq, qseq_len, ed_th,
+                            best, curr, max_ed, max_sc):
         ref_seq = self.genome.get(pos + 1, ref_len)
         if ref_seq is None:
             return None
-        ed, sclen, indel, score = self._local_right_sc(ref_seq,
-                                                       qseq[:qseq_len])
+        ed, sclen, indel, score = yield (self._sc_kind(True), ref_seq,
+                                         qseq[:qseq_len])
         new_rmpos = pos + qseq_len - indel
         exon_res = AlignRes(new_rmpos)
         exon_res.set(new_rmpos, ed, sclen, indel, qseq_len, score)
@@ -247,12 +292,12 @@ class TransExtension:
             best.update_by_score_right(curr)
         return exon_res
 
-    def _extend_left_middle(self, pos, exon_len, qseq_part, ed_th,
-                            best, curr, max_ed, max_sc):
+    def _extend_left_middle_g(self, pos, exon_len, qseq_part, ed_th,
+                              best, curr, max_ed, max_sc):
         ref_seq = self.genome.get(pos - exon_len, exon_len)
         if ref_seq is None:
             return False, None
-        ed, indel, score = self._local_left(qseq_part, ref_seq)
+        ed, indel, score = yield ("end_l", qseq_part, ref_seq)
         new_lmpos = pos - exon_len
         exon_res = AlignRes(new_lmpos)
         exon_res.set(new_lmpos, ed, 0, -indel, exon_len - indel, score)
@@ -262,12 +307,13 @@ class TransExtension:
             return True, exon_res
         return False, exon_res
 
-    def _extend_left_end(self, pos, ref_len, qseq, qseq_len, ed_th,
-                         best, curr, max_ed, max_sc):
+    def _extend_left_end_g(self, pos, ref_len, qseq, qseq_len, ed_th,
+                           best, curr, max_ed, max_sc):
         ref_seq = self.genome.get(pos - ref_len, ref_len)
         if ref_seq is None:
             return None
-        ed, sclen, indel, score = self._local_left_sc(ref_seq, qseq[:qseq_len])
+        ed, sclen, indel, score = yield (self._sc_kind(False), ref_seq,
+                                         qseq[:qseq_len])
         new_lmpos = pos - qseq_len + indel
         exon_res = AlignRes(new_lmpos)
         exon_res.set(new_lmpos, ed, sclen, indel, qseq_len, score)
@@ -278,8 +324,8 @@ class TransExtension:
         return exon_res
 
     # --- transcript walks (extend.cpp:491-650, 708-875) ---
-    def _extend_right_trans(self, tid, pos, ref_len, qseq, qseq_len, ed_th,
-                            ub, best, align_res: Dict):
+    def _extend_right_trans_g(self, tid, pos, ref_len, qseq, qseq_len, ed_th,
+                              ub, best, align_res: Dict):
         db, c = self.db, self.contig
         cfg = self.cfg
         consecutive = False
@@ -317,9 +363,10 @@ class TransExtension:
                         best.update_right(curr, cfg.max_ed, cfg.max_sc)
                         indel = hit.indel
                     else:
-                        success, exon_res = self._extend_right_middle(
-                            rspos, exon_len, qseq[covered:], remain_q, ed_th,
-                            best, curr, cfg.max_ed, cfg.max_sc)
+                        success, exon_res = yield from \
+                            self._extend_right_middle_g(
+                                rspos, exon_len, qseq[covered:], remain_q,
+                                ed_th, best, curr, cfg.max_ed, cfg.max_sc)
                         if exon_res is not None:
                             align_res[key] = exon_res
                         if not success:
@@ -346,7 +393,7 @@ class TransExtension:
                             hit.qcovlen, hit.score)
                 best.update_right(curr, cfg.max_ed, cfg.max_sc)
             else:
-                success, exon_res = self._extend_right_middle(
+                success, exon_res = yield from self._extend_right_middle_g(
                     rspos, exon_len, qseq[covered:], remain_q, ed_th,
                     best, curr, cfg.max_ed, cfg.max_sc)
                 if exon_res is not None:
@@ -370,15 +417,15 @@ class TransExtension:
                         hit.score)
             best.update_by_score_right(curr)
         else:
-            exon_res = self._extend_right_end(
+            exon_res = yield from self._extend_right_end_g(
                 rspos, remain_ref_len, qseq[covered:], qseq_len - covered,
                 ed_th, best, curr, cfg.max_ed, cfg.max_sc)
             if exon_res is not None:
                 align_res[key] = exon_res
         return consecutive
 
-    def _extend_left_trans(self, tid, pos, ref_len, qseq, qseq_len, ed_th,
-                           lb, best, align_res: Dict):
+    def _extend_left_trans_g(self, tid, pos, ref_len, qseq, qseq_len, ed_th,
+                             lb, best, align_res: Dict):
         db, c = self.db, self.contig
         cfg = self.cfg
         consecutive = False
@@ -427,9 +474,10 @@ class TransExtension:
                     else:
                         qpart = qseq[qseq_len - covered - remain_q:
                                      qseq_len - covered]
-                        success, exon_res = self._extend_left_middle(
-                            lepos, exon_len, qpart, ed_th, best, curr,
-                            cfg.max_ed, cfg.max_sc)
+                        success, exon_res = yield from \
+                            self._extend_left_middle_g(
+                                lepos, exon_len, qpart, ed_th, best, curr,
+                                cfg.max_ed, cfg.max_sc)
                         if exon_res is not None:
                             align_res[key] = exon_res
                         if not success:
@@ -452,7 +500,7 @@ class TransExtension:
                 best.update_left(curr, cfg.max_ed, cfg.max_sc)
             else:
                 qpart = qseq[qseq_len - covered - remain_q: qseq_len - covered]
-                success, exon_res = self._extend_left_middle(
+                success, exon_res = yield from self._extend_left_middle_g(
                     lepos, exon_len, qpart, ed_th, best, curr,
                     cfg.max_ed, cfg.max_sc)
                 if exon_res is not None:
@@ -476,7 +524,7 @@ class TransExtension:
                         hit.score)
             best.update_by_score_left(curr)
         else:
-            exon_res = self._extend_left_end(
+            exon_res = yield from self._extend_left_end_g(
                 lepos, remain_ref_len, qseq, qseq_len - covered, ed_th,
                 best, curr, cfg.max_ed, cfg.max_sc)
             if exon_res is not None:
@@ -484,8 +532,8 @@ class TransExtension:
         return consecutive
 
     # --- public extension entry points (extend.cpp:285-432) ---
-    def extend_right(self, common_tid, qseq, pos, length, ed_th, ub,
-                     best: AlignRes) -> Tuple[bool, int]:
+    def extend_right_g(self, common_tid, qseq, pos, length, ed_th, ub,
+                       best: AlignRes):
         """Extend [pos+1, pos+length]. Returns (ok, new_pos)."""
         cfg = self.cfg
         seq_len = length
@@ -496,9 +544,9 @@ class TransExtension:
         best.set(pos, ed_th + 1, length + 1, cfg.band_width + 1, 0, 0)
         align_res: Dict = {}
         for tid in common_tid:
-            consecutive = self._extend_right_trans(
+            consecutive = (yield from self._extend_right_trans_g(
                 int(tid), pos, ref_len, qseq, seq_len, ed_th, ub, best,
-                align_res) or consecutive
+                align_res)) or consecutive
 
         if best.ed <= ed_th:
             pos = best.pos - best.sclen
@@ -508,8 +556,8 @@ class TransExtension:
         # intron retention: contiguous genomic alignment (extend.cpp:326-341)
         ref_seq = self.genome.get(orig_pos + 1, ref_len)
         if not consecutive and ref_seq is not None:
-            ed, sclen, indel, score = self._local_right_sc(ref_seq,
-                                                           qseq[:seq_len])
+            ed, sclen, indel, score = yield (self._sc_kind(True), ref_seq,
+                                             qseq[:seq_len])
             if ed <= ed_th and sclen <= cfg.max_sc:
                 curr.set(orig_pos + seq_len - indel, ed, sclen, indel,
                          seq_len, score)
@@ -527,8 +575,13 @@ class TransExtension:
             return True, pos
         return (best.qcovlen >= seq_len and best.ed <= ed_th), pos
 
-    def extend_left(self, common_tid, qseq, pos, length, ed_th, lb,
-                    best: AlignRes) -> Tuple[bool, int]:
+    def extend_right(self, common_tid, qseq, pos, length, ed_th, ub,
+                     best: AlignRes) -> Tuple[bool, int]:
+        return run_gen(self.extend_right_g(common_tid, qseq, pos, length,
+                                           ed_th, ub, best), self.svc)
+
+    def extend_left_g(self, common_tid, qseq, pos, length, ed_th, lb,
+                      best: AlignRes):
         """Extend [pos-length, pos-1]. Returns (ok, new_pos)."""
         cfg = self.cfg
         seq_len = length
@@ -539,9 +592,9 @@ class TransExtension:
         best.set(pos, ed_th + 1, length + 1, cfg.band_width + 1, 0, 0)
         align_res: Dict = {}
         for tid in common_tid:
-            consecutive = self._extend_left_trans(
+            consecutive = (yield from self._extend_left_trans_g(
                 int(tid), pos, ref_len, qseq, seq_len, ed_th, lb, best,
-                align_res) or consecutive
+                align_res)) or consecutive
 
         if best.ed <= ed_th:
             pos = best.pos + best.sclen
@@ -550,8 +603,8 @@ class TransExtension:
 
         ref_seq = self.genome.get(orig_pos - ref_len, ref_len)
         if not consecutive and ref_seq is not None:
-            ed, sclen, indel, score = self._local_left_sc(ref_seq,
-                                                          qseq[:seq_len])
+            ed, sclen, indel, score = yield (self._sc_kind(False), ref_seq,
+                                             qseq[:seq_len])
             if ed <= ed_th and sclen <= cfg.max_sc:
                 curr.set(orig_pos - seq_len + indel, ed, sclen, indel,
                          seq_len, score)
@@ -569,10 +622,15 @@ class TransExtension:
             return True, pos
         return (best.qcovlen >= seq_len and best.ed <= ed_th), pos
 
+    def extend_left(self, common_tid, qseq, pos, length, ed_th, lb,
+                    best: AlignRes) -> Tuple[bool, int]:
+        return run_gen(self.extend_left_g(common_tid, qseq, pos, length,
+                                          ed_th, lb, best), self.svc)
+
     # --- chain-level wrappers (extend.cpp:37-280, utils.cpp:22-153) ---
 
-    def extend_chain_right(self, common_tid, chain, qseq, seq_len, ub,
-                           mm: MatchedMate, err: int) -> Tuple[bool, int]:
+    def extend_chain_right_g(self, common_tid, chain, qseq, seq_len, ub,
+                             mm: MatchedMate, err: int):
         """extend.cpp:215-246. Returns (right_ok, err)."""
         last = chain.chain_len - 1
         rm_pos = int(chain.rpos[last] + chain.flen[last] - 1)
@@ -580,7 +638,7 @@ class TransExtension:
         right_ok = remain_end <= 0
         best = AlignRes(ub)
         if remain_end > 0:
-            right_ok, rm_pos = self.extend_right(
+            right_ok, rm_pos = yield from self.extend_right_g(
                 common_tid, qseq[seq_len - remain_end:], rm_pos, remain_end,
                 self.cfg.max_ed - err, ub, best)
         sclen_right = best.sclen
@@ -593,15 +651,21 @@ class TransExtension:
         mm.right_ed = best.ed
         return right_ok, err + err_right
 
-    def extend_chain_left(self, common_tid, chain, qseq, qspos, lb,
-                          mm: MatchedMate, err: int) -> Tuple[bool, int]:
+    def extend_chain_right(self, common_tid, chain, qseq, seq_len, ub,
+                           mm: MatchedMate, err: int) -> Tuple[bool, int]:
+        return run_gen(self.extend_chain_right_g(common_tid, chain, qseq,
+                                                 seq_len, ub, mm, err),
+                       self.svc)
+
+    def extend_chain_left_g(self, common_tid, chain, qseq, qspos, lb,
+                            mm: MatchedMate, err: int):
         """extend.cpp:248-280. qspos is 0-based exclusive left bound."""
         lm_pos = int(chain.rpos[0])
         remain_beg = int(chain.qpos[0]) - qspos
         left_ok = remain_beg <= 0
         best = AlignRes(lb)
         if remain_beg > 0:
-            left_ok, lm_pos = self.extend_left(
+            left_ok, lm_pos = yield from self.extend_left_g(
                 common_tid, qseq, lm_pos, remain_beg,
                 self.cfg.max_ed - err, lb, best)
         sclen_left = best.sclen
@@ -614,8 +678,13 @@ class TransExtension:
         mm.left_ed = best.ed
         return left_ok, err + err_left
 
-    def extend_chain_both_sides(self, chain, qseq, seq_len,
-                                mm: MatchedMate, direction: int) -> int:
+    def extend_chain_left(self, common_tid, chain, qseq, qspos, lb,
+                          mm: MatchedMate, err: int) -> Tuple[bool, int]:
+        return run_gen(self.extend_chain_left_g(common_tid, chain, qseq,
+                                                qspos, lb, mm, err), self.svc)
+
+    def extend_chain_both_sides_g(self, chain, qseq, seq_len,
+                                  mm: MatchedMate, direction: int):
         """Genomic-path extension of a single chain (extend.cpp:131-213)."""
         cfg = self.cfg
         mm.is_concord = False
@@ -632,7 +701,7 @@ class TransExtension:
         left_ok = remain_beg <= 0
         best_left = AlignRes(MINLB)
         if remain_beg > 0:
-            left_ok, lm_pos = self.extend_left(
+            left_ok, lm_pos = yield from self.extend_left_g(
                 [], qseq, lm_pos, remain_beg, cfg.max_ed - mm.middle_ed,
                 MINLB, best_left)
         err_left = best_left.ed
@@ -645,7 +714,7 @@ class TransExtension:
         right_ok = remain_end <= 0
         best_right = AlignRes(MAXUB)
         if remain_end > 0:
-            right_ok, rm_pos = self.extend_right(
+            right_ok, rm_pos = yield from self.extend_right_g(
                 [], qseq[seq_len - remain_end:], rm_pos, remain_end,
                 cfg.max_ed - mm.middle_ed - err_left, MAXUB, best_right)
         err_right = best_right.ed
@@ -672,13 +741,21 @@ class TransExtension:
             mm.type = ORPHAN
         return mm.type
 
-    def extend_both_mates(self, lch, rch, common_tid, lseq, rseq,
-                          lqspos, rqspos, lseq_len, rseq_len,
-                          lmm: MatchedMate, rmm: MatchedMate) -> bool:
+    def extend_chain_both_sides(self, chain, qseq, seq_len,
+                                mm: MatchedMate, direction: int) -> int:
+        return run_gen(self.extend_chain_both_sides_g(chain, qseq, seq_len,
+                                                      mm, direction),
+                       self.svc)
+
+    def extend_both_mates_g(self, lch, rch, common_tid, lseq, rseq,
+                            lqspos, rqspos, lseq_len, rseq_len,
+                            lmm: MatchedMate, rmm: MatchedMate):
         """Paired extension of two chains (extend.cpp:37-125)."""
         cfg = self.cfg
-        lmm.middle_ed = self.calc_middle_ed(lch, cfg.max_ed, lseq, lseq_len)
-        rmm.middle_ed = self.calc_middle_ed(rch, cfg.max_ed, rseq, rseq_len)
+        lmm.middle_ed = yield from self.calc_middle_ed_g(
+            lch, cfg.max_ed, lseq, lseq_len)
+        rmm.middle_ed = yield from self.calc_middle_ed_g(
+            rch, cfg.max_ed, rseq, rseq_len)
         if lmm.middle_ed <= cfg.max_ed:
             is_concord2(lch, lseq_len, lmm)
         if rmm.middle_ed <= cfg.max_ed:
@@ -706,20 +783,20 @@ class TransExtension:
             lmm.matched_len = lseq_len - lqspos + 1
             lmm.qspos = lqspos
             lmm.qepos = lseq_len
-            llok, lerr = self.extend_chain_left(
+            llok, lerr = yield from self.extend_chain_left_g(
                 common_tid, lch, lseq, lqspos - 1, MINLB, lmm, lerr)
         if r_extend:
             rmm.matched_len = rseq_len - rqspos + 1
             rmm.qspos = rqspos
             rmm.qepos = rseq_len
-            rlok, rerr = self.extend_chain_left(
+            rlok, rerr = yield from self.extend_chain_left_g(
                 common_tid, rch, rseq, rqspos - 1,
                 lmm.spos if l_extend else MINLB, rmm, rerr)
         if r_extend:
-            rrok, rerr = self.extend_chain_right(
+            rrok, rerr = yield from self.extend_chain_right_g(
                 common_tid, rch, rseq, rseq_len, MAXUB, rmm, rerr)
         if l_extend:
-            lrok, lerr = self.extend_chain_right(
+            lrok, lerr = yield from self.extend_chain_right_g(
                 common_tid, lch, lseq, lseq_len,
                 rmm.epos if r_extend else MAXUB, lmm, lerr)
         if l_extend:
@@ -727,6 +804,13 @@ class TransExtension:
         if r_extend:
             update_match_mate_info(rlok, rrok, rerr, rmm, cfg)
         return True
+
+    def extend_both_mates(self, lch, rch, common_tid, lseq, rseq,
+                          lqspos, rqspos, lseq_len, rseq_len,
+                          lmm: MatchedMate, rmm: MatchedMate) -> bool:
+        return run_gen(self.extend_both_mates_g(
+            lch, rch, common_tid, lseq, rseq, lqspos, rqspos, lseq_len,
+            rseq_len, lmm, rmm), self.svc)
 
 
 # --- free helpers (utils.cpp:22-153) ----------------------------------------

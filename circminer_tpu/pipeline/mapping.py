@@ -25,7 +25,7 @@ from ..ops.chain import Chain, chain_seeds_host
 from ..ops.encode import revcomp
 from ..io.fasta import get_shift
 from .types import MatchedMate, MatchedRead
-from .extend import TransExtension, GenomeView
+from .extend import TransExtension, GenomeView, run_gen
 from ..utils import logging as ulog
 from . import categories as cat
 
@@ -113,9 +113,9 @@ class Mapper:
         return pairs, f_paired, r_paired
 
     # --- paired-mate processing (filter.cpp:244-395) ---
-    def process_mates(self, forward_chain: List[Chain], forward_rec,
-                      backward_chain: List[Chain], backward_rec,
-                      mr: MatchedRead, r1_forward: bool) -> int:
+    def process_mates_g(self, forward_chain: List[Chain], forward_rec,
+                        backward_chain: List[Chain], backward_rec,
+                        mr: MatchedRead, r1_forward: bool):
         db, c, cfg = self.db, self.contig, self.cfg
         pairs, f_paired, r_paired = self.pair_chains(
             forward_chain, backward_chain, mr.type)
@@ -133,7 +133,7 @@ class Mapper:
             is_fwd_left = cat.is_left_chain(mp.forward, mp.reverse,
                                             forward_rec.seq_len)
             if is_fwd_left:
-                success = self.ext.extend_both_mates(
+                success = yield from self.ext.extend_both_mates_g(
                     mp.forward, mp.reverse, mp.common_tid, forward_rec.seq,
                     backward_rec.rcseq, 1, 1, forward_rec.seq_len,
                     backward_rec.seq_len, r1_mm, r2_mm)
@@ -159,7 +159,7 @@ class Mapper:
                                        con_shift.contig, con_shift.shift,
                                        r1_forward)
             else:
-                success = self.ext.extend_both_mates(
+                success = yield from self.ext.extend_both_mates_g(
                     mp.reverse, mp.forward, mp.common_tid, backward_rec.rcseq,
                     forward_rec.seq, 1, 1, backward_rec.seq_len,
                     forward_rec.seq_len, r2_mm, r1_mm)
@@ -198,7 +198,7 @@ class Mapper:
             for i, ch in enumerate(forward_chain):
                 if not f_paired[i]:
                     mm1 = MatchedMate.default(cfg.max_ed)
-                    ex_ret = self.ext.extend_chain_both_sides(
+                    ex_ret = yield from self.ext.extend_chain_both_sides_g(
                         ch, forward_rec.seq, forward_rec.seq_len, mm1, 1)
                     min_ret1 = min(ex_ret, min_ret1)
                     cat.overlap_to_spos(mm1, db, c)
@@ -209,7 +209,7 @@ class Mapper:
             for i, ch in enumerate(backward_chain):
                 if not r_paired[i]:
                     mm2 = MatchedMate.default(cfg.max_ed)
-                    ex_ret = self.ext.extend_chain_both_sides(
+                    ex_ret = yield from self.ext.extend_chain_both_sides_g(
                         ch, backward_rec.rcseq, backward_rec.seq_len, mm2, -1)
                     min_ret2 = min(ex_ret, min_ret2)
                     cat.overlap_to_spos(mm2, db, c)
@@ -232,8 +232,14 @@ class Mapper:
         mr.update_type(new_type)
         return mr.type
 
+    def process_mates(self, forward_chain, forward_rec, backward_chain,
+                      backward_rec, mr: MatchedRead, r1_forward: bool) -> int:
+        return run_gen(self.process_mates_g(forward_chain, forward_rec,
+                                            backward_chain, backward_rec,
+                                            mr, r1_forward), self.ext.svc)
+
     # --- SE read pipeline (filter.cpp:86-121) ---
-    def process_read_se(self, rec: ReadRecord, chains2=None) -> int:
+    def process_read_se_g(self, rec: ReadRecord, chains2=None):
         """Single-end: extend every forward chain, then every RC chain,
         short-circuiting on the first CONCRD; otherwise the best (minimum)
         category across all extensions."""
@@ -245,7 +251,7 @@ class Mapper:
         min_ret = ORPHAN
         for ch in fc:
             mm = MatchedMate.default(self.cfg.max_ed)
-            ex_ret = self.ext.extend_chain_both_sides(
+            ex_ret = yield from self.ext.extend_chain_both_sides_g(
                 ch, rec.seq, rec.seq_len, mm, 1)
             if ex_ret == CONCRD:
                 self._record_se(rec, mm, True)
@@ -253,13 +259,16 @@ class Mapper:
             min_ret = min(ex_ret, min_ret)
         for ch in bc:
             mm = MatchedMate.default(self.cfg.max_ed)
-            ex_ret = self.ext.extend_chain_both_sides(
+            ex_ret = yield from self.ext.extend_chain_both_sides_g(
                 ch, rec.rcseq, rec.seq_len, mm, -1)
             if ex_ret == CONCRD:
                 self._record_se(rec, mm, False)
                 return CONCRD
             min_ret = min(ex_ret, min_ret)
         return min_ret
+
+    def process_read_se(self, rec: ReadRecord, chains2=None) -> int:
+        return run_gen(self.process_read_se_g(rec, chains2), self.ext.svc)
 
     def _record_se(self, rec: ReadRecord, mm: MatchedMate, forward: bool):
         """Store the successful SE mate into rec.mr so SAM output has
@@ -279,8 +288,8 @@ class Mapper:
         mr.contig_num = self.contig
 
     # --- PE read pipeline (filter.cpp:124-241) ---
-    def process_read_pe(self, rec1: ReadRecord, rec2: ReadRecord,
-                        chains4=None) -> int:
+    def process_read_pe_g(self, rec1: ReadRecord, rec2: ReadRecord,
+                          chains4=None):
         """chains4: optional precomputed ((fc1, fhh1), (bc1, bhh1),
         (fc2, fhh2), (bc2, bhh2)) from the device pipeline."""
         cfg = self.cfg
@@ -310,17 +319,21 @@ class Mapper:
         bc2_score = bc_r2[0].score if bc_r2 else 0.0
 
         if fc1_score + bc2_score >= fc2_score + bc1_score:
-            att1 = self.process_mates(fc_r1, rec1, bc_r2, rec2, mr, True)
+            att1 = yield from self.process_mates_g(fc_r1, rec1, bc_r2, rec2,
+                                                   mr, True)
             if cfg.scan_level == 0 and att1 == CONCRD:
                 return CONCRD
-            att2 = self.process_mates(fc_r2, rec2, bc_r1, rec1, mr, False)
+            att2 = yield from self.process_mates_g(fc_r2, rec2, bc_r1, rec1,
+                                                   mr, False)
             if cfg.scan_level == 0 and att2 == CONCRD:
                 return CONCRD
         else:
-            att1 = self.process_mates(fc_r2, rec2, bc_r1, rec1, mr, False)
+            att1 = yield from self.process_mates_g(fc_r2, rec2, bc_r1, rec1,
+                                                   mr, False)
             if cfg.scan_level == 0 and att1 == CONCRD:
                 return CONCRD
-            att2 = self.process_mates(fc_r1, rec1, bc_r2, rec2, mr, True)
+            att2 = yield from self.process_mates_g(fc_r1, rec1, bc_r2, rec2,
+                                                   mr, True)
             if cfg.scan_level == 0 and att2 == CONCRD:
                 return CONCRD
         if ulog.TRACE_LEVEL >= 1:  # per-read decision trace (vafprintf lvl 1)
@@ -328,6 +341,11 @@ class Mapper:
                      rec1.rname, mr.type, len(fc_r1), len(bc_r1),
                      len(fc_r2), len(bc_r2), mr.spos_r1, mr.epos_r1)
         return mr.type
+
+    def process_read_pe(self, rec1: ReadRecord, rec2: ReadRecord,
+                        chains4=None) -> int:
+        return run_gen(self.process_read_pe_g(rec1, rec2, chains4),
+                       self.ext.svc)
 
 
 def make_host_seeder(ci, cfg: Config):
