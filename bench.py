@@ -78,7 +78,8 @@ def main():
     t0 = time.time()
     g = make_genome(rng, length=genome_len, n_genes=n_genes,
                     dup_frac=dup_frac)
-    cfg = Config(kmer=20, max_read_len=120)
+    # threads=0 -> every core (the reference's `-t <big>` clamp semantics)
+    cfg = Config(kmer=20, max_read_len=120, threads=0)
 
     import tempfile
     with tempfile.TemporaryDirectory() as tmp:

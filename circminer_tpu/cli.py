@@ -215,13 +215,17 @@ def _run_search_stages(args, cfg: Config) -> int:
                        make_host_seeder(gi.contigs[c], cfg))
                 for c in range(n_contigs)
             ]
+            from .pipeline.types import round_skip
             n = 0
             for rec1, rec2 in pair_src:
                 # single-pass over the whole resident index: process the
-                # read against every contig (replaces per-contig rounds)
+                # read against every contig (replaces per-contig rounds);
+                # the per-round skip honors scanLevel 0 AND 1 semantics
+                # (circminer.cpp:386-394)
                 for c, mapper in enumerate(mappers):
-                    state = mapper.process_read_pe(rec1, rec2)
-                    if cfg.scan_level == 0 and state == CONCRD:
+                    mapper.process_read_pe(rec1, rec2)
+                    if round_skip(rec1.mr, rec1.seq_len, rec2.seq_len,
+                                  cfg.scan_level):
                         break
                 if fmt:
                     out.write_pam_pe(rec1, rec2) if fmt == "pam" else \

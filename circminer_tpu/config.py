@@ -119,6 +119,15 @@ class Config:
         return max(0, self.kmer - self.window_size)
 
     @property
+    def resolved_threads(self) -> int:
+        """Native-kernel thread count with the reference's -t semantics
+        (commandline_parser.cpp:148-151): values < 1 or > nproc mean
+        'use every core'."""
+        ncpu = os.cpu_count() or 1
+        t = self.threads
+        return ncpu if (t < 1 or t > ncpu) else t
+
+    @property
     def max_seg_cnt(self) -> int:
         """Number of k-mer list slots (reference: circminer.cpp:161)."""
         return 2 * ((self.max_read_len + self.kmer - 1) // self.kmer) - 1

@@ -93,8 +93,11 @@ def edit_end_scan_ref(s: jnp.ndarray, t: jnp.ndarray, n: jnp.ndarray,
         i_here = k - m
         indel = m - i_here  # AlignCandid(dp[i][m], 0, m - i)
         # preference: ed asc, |indel| asc; strict > keeps the earlier
-        # (smaller i) on exact ties — candidates arrive in ascending i
-        key = ((31 - ed) << 5) | (15 - jnp.minimum(jnp.abs(indel), 15))
+        # (smaller i) on exact ties — candidates arrive in ascending i.
+        # Key radix is sized from the static (max_ed, w) so no config can
+        # saturate it: ed <= max_ed, |indel| clamped to w + 1.
+        key = ((max_ed - ed) * (w + 2)
+               + (w + 1 - jnp.minimum(jnp.abs(indel), w + 1)))
         better = has & (key > best_key)
         best_key = jnp.where(better, key, best_key)
         best_ed = jnp.where(better, ed, best_ed)
@@ -346,8 +349,10 @@ class DeviceAlignService:
 
     def warm(self):
         """Compile every kernel at the fixed dispatch shape (one compile
-        each) so no compile lands inside the streamed region."""
-        o = np.ones(9, np.int8)
+        each) so no compile lands inside the streamed region.  Warm
+        sequences are length I-1 so every kind stays in the device regime
+        (len > 2*band_width) for any valid band width."""
+        o = np.ones(self.I - 1, np.int8)
         reqs = [(k, o, o) for k in ("edit_sc_r", "edit_sc_l", "drop_sc_r",
                                     "drop_sc_l", "end_r", "end_l")]
         reqs.append(("one_side", o, o, 1))

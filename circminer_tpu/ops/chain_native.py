@@ -135,7 +135,7 @@ class NativeChainer:
         out_score = np.zeros((R, C), dtype=np.float64)
         out_n = np.zeros(R, dtype=np.int32)
         if n_threads is None:
-            n_threads = max(1, os.cpu_count() or 1)
+            n_threads = cfg.resolved_threads
         self.lib.batch_chain(
             np.ascontiguousarray(pos, dtype=np.int32),
             np.ascontiguousarray(np.minimum(cnt, cap), dtype=np.int32),

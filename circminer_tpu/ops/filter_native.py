@@ -202,7 +202,7 @@ class NativeFilter:
         C = ch_clen.shape[1]
         NL = ch_rpos.shape[2]
         if n_threads is None:
-            n_threads = max(1, os.cpu_count() or 1)
+            n_threads = self.cfg.resolved_threads
         self.lib.batch_filter_pe(
             np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens), n, L,
             _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),
@@ -224,7 +224,7 @@ class NativeFilter:
         NL = ch_rpos.shape[2]
         out = np.zeros(n, dtype=np.int32)
         if n_threads is None:
-            n_threads = max(1, os.cpu_count() or 1)
+            n_threads = self.cfg.resolved_threads
         self.lib.batch_filter_se(
             np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens), n, L,
             _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),

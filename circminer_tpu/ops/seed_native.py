@@ -67,10 +67,6 @@ def available() -> bool:
     return _load() is not None
 
 
-def _nthreads() -> int:
-    return max(1, os.cpu_count() or 1)
-
-
 class NativeSeeder:
     """Batched host lookup against one contig's index."""
 
@@ -101,7 +97,7 @@ class NativeSeeder:
             B, L, self.entry_hv, self.entry_checksum,
             self.entry_hv.shape[0],
             cfg.kmer, cfg.checksum_len, NL, cfg.seed_lim,
-            qpos, start, cnt, high, _nthreads())
+            qpos, start, cnt, high, cfg.resolved_threads)
         return qpos, start, cnt, high
 
     def gather(self, start: np.ndarray, cnt: np.ndarray, cap: int):
@@ -112,5 +108,5 @@ class NativeSeeder:
             self.entry_pos,
             np.ascontiguousarray(start, dtype=np.int32),
             np.ascontiguousarray(cnt, dtype=np.int32),
-            R, NL, cap, pos, _nthreads())
+            R, NL, cap, pos, self.cfg.resolved_threads)
         return pos

@@ -400,10 +400,11 @@ class DeviceMappingPipeline:
                             blob[ri, :, :cap], blob[ri, :, cap:], pos_b[ri],
                             qpos_b[ri], cnt_b[ri], cfg)
         mapper = self.mappers[cf["contig"]]
+        from .types import round_skip
         gens = []
         with T.phase("wave_finish"):
             for i, (r1, r2) in enumerate(recs):
-                if cfg.scan_level == 0 and r1.mr.type == CONCRD:
+                if round_skip(r1.mr, r1.seq_len, r2.seq_len, cfg.scan_level):
                     continue
                 quad = []
                 for o in range(4):
@@ -424,8 +425,13 @@ class DeviceMappingPipeline:
         k = cfg.kmer
         C = cfg.max_chain_len
         NL = self.n_lists
+        from ..utils import logging as ulog
         nf = self.filters[cf["contig"]]
-        use_native = nf is not None and self.native_extract
+        # -d >= 1 routes the finish through the python orchestration, which
+        # carries the per-read vaf trace channel end-to-end (the C++ engine
+        # is opaque to it) — the reference's `make verbose` story
+        use_native = (nf is not None and self.native_extract
+                      and ulog.TRACE_LEVEL < 1)
         R_full = cf["cnt"].shape[0]
 
         if use_native:
@@ -446,7 +452,8 @@ class DeviceMappingPipeline:
                         start_b, np.minimum(cnt_b, cap), cap)
                 with T.phase(f"extract_cap{cap}"):
                     rp, qp, cl, sc, cn = NativeChainer.extract_batch(
-                        dp10, back, pos_b, qpos_b, cnt_b, k, C)
+                        dp10, back, pos_b, qpos_b, cnt_b, k, C,
+                        n_threads=cfg.resolved_threads)
                 rp_f[rows] = rp
                 qp_f[rows] = qp
                 cl_f[rows] = cl
@@ -475,10 +482,12 @@ class DeviceMappingPipeline:
                 dp_out[r] = blob[ri, :, :cap]
                 back_out[r] = blob[ri, :, cap:]
                 pos_out[r] = pos_b[ri]
+        from .types import round_skip
         mapper = self.mappers[cf["contig"]]
         with T.phase("host_finish"):
             for i, (r1, r2) in enumerate(recs):
-                if self.cfg.scan_level == 0 and r1.mr.type == CONCRD:
+                if round_skip(r1.mr, r1.seq_len, r2.seq_len,
+                              self.cfg.scan_level):
                     continue
                 quad = []
                 for o in range(4):
@@ -519,7 +528,10 @@ class DeviceMappingPipeline:
         n = len(recs)
         hh_h = cf["hh"]
         k = cfg.kmer
+        from ..utils import logging as ulog
         nf = self.filters[cf["contig"]]
+        if ulog.TRACE_LEVEL >= 1:
+            nf = None  # python finish carries the per-read vaf traces
         if nf is not None:
             # fully native finish: extension + pairing + categories in C++
             R = 4 * n
@@ -540,6 +552,7 @@ class DeviceMappingPipeline:
             self._filter_batch(recs, cf["seqs"], cf["lens"], rp_f, qp_f,
                                cl_f, sc_f, cn_f, hh_h, cf["contig"])
             return
+        from .types import round_skip
         chains_out = [None] * (4 * n)
         for rows, rp, qp, cl, sc, cn in cf["parts"]:
             for ri, r in enumerate(rows):
@@ -547,7 +560,7 @@ class DeviceMappingPipeline:
         mapper = self.mappers[cf["contig"]]
         with T.phase("host_finish"):
             for i, (r1, r2) in enumerate(recs):
-                if cfg.scan_level == 0 and r1.mr.type == CONCRD:
+                if round_skip(r1.mr, r1.seq_len, r2.seq_len, cfg.scan_level):
                     continue
                 quad = []
                 for o in range(4):
@@ -639,8 +652,9 @@ class DeviceMappingPipeline:
                     os.path.join(tmpdir, "carry"), c + 1)
 
                 def emit(r1, r2, last=last, nxt=nxt):
-                    final = last or (cfg.scan_level == 0
-                                     and r1.mr.type == CONCRD)
+                    from .types import round_skip
+                    final = last or round_skip(r1.mr, r1.seq_len, r2.seq_len,
+                                               cfg.scan_level)
                     if final:
                         self._emit_pair(r1, r2, out, remain, conloc)
                     else:

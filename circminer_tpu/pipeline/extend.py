@@ -39,6 +39,7 @@ import numpy as np
 
 from ..config import Config, CONCRD, CANDID, ORPHAN, MINLB, MAXUB, INF
 from ..ops import align as al
+from ..utils import logging as ulog
 from .types import MatchedMate
 
 EDIT_ALIGNMENT = 1
@@ -262,6 +263,9 @@ class TransExtension:
     # --- per-exon middle/end alignments (extend.cpp:435-487, 653-705) ---
     def _extend_right_middle_g(self, pos, exon_len, qseq, qseq_len, ed_th,
                                best, curr, max_ed, max_sc):
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:438
+            ulog.vaf(2, "Middle Right Ext Going for %d - %d",
+                     pos + 1, pos + exon_len)
         ref_seq = self.genome.get(pos + 1, exon_len)
         if ref_seq is None:
             return False, None
@@ -294,6 +298,9 @@ class TransExtension:
 
     def _extend_left_middle_g(self, pos, exon_len, qseq_part, ed_th,
                               best, curr, max_ed, max_sc):
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:656 analog
+            ulog.vaf(2, "Middle Left Ext Going for %d - %d",
+                     pos - exon_len, pos - 1)
         ref_seq = self.genome.get(pos - exon_len, exon_len)
         if ref_seq is None:
             return False, None
@@ -550,12 +557,18 @@ class TransExtension:
 
         if best.ed <= ed_th:
             pos = best.pos - best.sclen
+            if ulog.TRACE_LEVEL >= 2:  # extend.cpp:320
+                ulog.vaf(2, "Min Edit Dist: %d\tNew RM POS: %d\tcovlen: %d",
+                         best.ed, pos, best.qcovlen)
             if best.qcovlen >= seq_len and best.sclen <= cfg.max_sc:
                 return True, pos
 
         # intron retention: contiguous genomic alignment (extend.cpp:326-341)
         ref_seq = self.genome.get(orig_pos + 1, ref_len)
         if not consecutive and ref_seq is not None:
+            if ulog.TRACE_LEVEL >= 2:  # extend.cpp:330
+                ulog.vaf(2, "Intron Retention:\nrmpos: %d\textend len: %d",
+                         orig_pos, seq_len)
             ed, sclen, indel, score = yield (self._sc_kind(True), ref_seq,
                                              qseq[:seq_len])
             if ed <= ed_th and sclen <= cfg.max_sc:
@@ -598,11 +611,17 @@ class TransExtension:
 
         if best.ed <= ed_th:
             pos = best.pos + best.sclen
+            if ulog.TRACE_LEVEL >= 2:  # extend.cpp:396
+                ulog.vaf(2, "Min Edit Dist: %d\tNew LM POS: %d\tcovlen: %d",
+                         best.ed, pos, best.qcovlen)
             if best.qcovlen >= seq_len and best.sclen <= cfg.max_sc:
                 return True, pos
 
         ref_seq = self.genome.get(orig_pos - ref_len, ref_len)
         if not consecutive and ref_seq is not None:
+            if ulog.TRACE_LEVEL >= 2:  # extend.cpp:406
+                ulog.vaf(2, "Intron Retention:\nlmpos: %d\textend len: %d",
+                         orig_pos, seq_len)
             ed, sclen, indel, score = yield (self._sc_kind(False), ref_seq,
                                              qseq[:seq_len])
             if ed <= ed_th and sclen <= cfg.max_sc:

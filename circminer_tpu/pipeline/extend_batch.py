@@ -26,7 +26,8 @@ def run_waves(gens: List, svc, max_concurrent: Optional[int] = None):
 
     gens: generators yielding align-request tuples (see extend.py).
     svc:  object with solve_batch(list[req]) -> list[result].
-    Returns the list of generator return values (same order)."""
+    Returns (results, n_waves): the list of generator return values (same
+    order) and the number of lockstep waves it took to drain them."""
     results = [None] * len(gens)
     active = []
     n_waves = 0

@@ -132,6 +132,11 @@ class Mapper:
             r2_mm.dir = -1
             is_fwd_left = cat.is_left_chain(mp.forward, mp.reverse,
                                             forward_rec.seq_len)
+            if ulog.TRACE_LEVEL >= 1:  # pair trace (filter.cpp:262-270)
+                ulog.vaf(1, "MatePair type %d score %.4f fwd@%d rev@%d "
+                         "tids %s fwd_left=%s", mp.type, mp.score,
+                         int(mp.forward.rpos[0]), int(mp.reverse.rpos[0]),
+                         list(map(int, mp.common_tid)), is_fwd_left)
             if is_fwd_left:
                 success = yield from self.ext.extend_both_mates_g(
                     mp.forward, mp.reverse, mp.common_tid, forward_rec.seq,
@@ -183,6 +188,15 @@ class Mapper:
                                        con_shift.contig, con_shift.shift,
                                        not r1_forward)
 
+            if ulog.TRACE_LEVEL >= 1:  # extension outcome (filter.cpp:281)
+                ulog.vaf(1, "R1 ext: type %d [%d-%d] q[%d-%d] ed %d/%d/%d | "
+                         "R2 ext: type %d [%d-%d] q[%d-%d] ed %d/%d/%d | "
+                         "mr.type %d", r1_mm.type, r1_mm.spos, r1_mm.epos,
+                         r1_mm.qspos, r1_mm.qepos, r1_mm.left_ed,
+                         r1_mm.middle_ed, r1_mm.right_ed, r2_mm.type,
+                         r2_mm.spos, r2_mm.epos, r2_mm.qspos, r2_mm.qepos,
+                         r2_mm.left_ed, r2_mm.middle_ed, r2_mm.right_ed,
+                         mr.type)
             min_ret1 = min(r1_mm.type, min_ret1)
             min_ret2 = min(r2_mm.type, min_ret2)
             r1_genic = (r1_mm.exons_spos is not None or
@@ -302,6 +316,18 @@ class Mapper:
             (fc_r1, fhh_r1), (bc_r1, bhh_r1), (fc_r2, fhh_r2), \
                 (bc_r2, bhh_r2) = chains4
 
+        if ulog.TRACE_LEVEL >= 1:  # chain-set dump (filter.cpp:140-177)
+            for tag, chains in (("R1 Forward", fc_r1), ("R1 Reverse", bc_r1),
+                                ("R2 Forward", fc_r2), ("R2 Reverse", bc_r2)):
+                ulog.vaf(1, "%s/%s", tag.split()[0], rec1.rname)
+                ulog.vaf(1, "%s score:%.4f,\t len: %d", tag,
+                         chains[0].score if chains else 0.0, len(chains))
+                for j, ch in enumerate(chains):
+                    for i in range(ch.chain_len):
+                        ulog.vaf(2, "#%d\tfrag[%d]: %d\t%d\t%d", j, i,
+                                 int(ch.rpos[i]), int(ch.qpos[i]),
+                                 int(ch.flen[i]))
+
         mr = rec1.mr
         if len(fc_r1) + len(bc_r1) + len(fc_r2) + len(bc_r2) <= 0:
             if (fhh_r1 + bhh_r1 > 0) and (fhh_r2 + bhh_r2 > 0):
@@ -318,28 +344,35 @@ class Mapper:
         fc2_score = fc_r2[0].score if fc_r2 else 0.0
         bc2_score = bc_r2[0].score if bc_r2 else 0.0
 
+        def _decision_trace():
+            if ulog.TRACE_LEVEL >= 1:  # per-read decision (vafprintf lvl 1)
+                ulog.vaf(1, "%s: type %d chains %d/%d/%d/%d spos %d-%d",
+                         rec1.rname, mr.type, len(fc_r1), len(bc_r1),
+                         len(fc_r2), len(bc_r2), mr.spos_r1, mr.epos_r1)
+
         if fc1_score + bc2_score >= fc2_score + bc1_score:
             att1 = yield from self.process_mates_g(fc_r1, rec1, bc_r2, rec2,
                                                    mr, True)
             if cfg.scan_level == 0 and att1 == CONCRD:
+                _decision_trace()
                 return CONCRD
             att2 = yield from self.process_mates_g(fc_r2, rec2, bc_r1, rec1,
                                                    mr, False)
             if cfg.scan_level == 0 and att2 == CONCRD:
+                _decision_trace()
                 return CONCRD
         else:
             att1 = yield from self.process_mates_g(fc_r2, rec2, bc_r1, rec1,
                                                    mr, False)
             if cfg.scan_level == 0 and att1 == CONCRD:
+                _decision_trace()
                 return CONCRD
             att2 = yield from self.process_mates_g(fc_r1, rec1, bc_r2, rec2,
                                                    mr, True)
             if cfg.scan_level == 0 and att2 == CONCRD:
+                _decision_trace()
                 return CONCRD
-        if ulog.TRACE_LEVEL >= 1:  # per-read decision trace (vafprintf lvl 1)
-            ulog.vaf(1, "%s: type %d chains %d/%d/%d/%d spos %d-%d",
-                     rec1.rname, mr.type, len(fc_r1), len(bc_r1),
-                     len(fc_r2), len(bc_r2), mr.spos_r1, mr.epos_r1)
+        _decision_trace()
         return mr.type
 
     def process_read_pe(self, rec1: ReadRecord, rec2: ReadRecord,

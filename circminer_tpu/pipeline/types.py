@@ -210,3 +210,21 @@ class MatchedRead:
             self.touched = True
             return True
         return False
+
+
+def round_skip(mr: "MatchedRead", seq_len1: int, seq_len2: int,
+               scan_level: int) -> bool:
+    """Contig-round skip condition (circminer.cpp:386-394): a read whose
+    best mapping is already good enough is finalized now and not carried
+    into later rounds.  scanLevel 0 skips on any CONCRD; scanLevel 1 only
+    on a perfect one (gm-compatible, zero edit distance, full-length
+    match on both mates); scanLevel >= 2 never skips."""
+    if mr.type != CONCRD:
+        return False
+    if scan_level == 0:
+        return True
+    if scan_level == 1:
+        return (mr.gm_compatible
+                and mr.ed_r1 + mr.ed_r2 == 0
+                and mr.mlen_r1 + mr.mlen_r2 == seq_len1 + seq_len2)
+    return False
