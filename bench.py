@@ -39,10 +39,12 @@ def main():
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--exec", dest="chain_exec", default="auto",
-                    choices=["auto", "device", "device-chain", "native"],
-                    help="seed-lookup + chain-DP executor (auto measures "
-                         "the device and host paths at warmup and picks "
-                         "the faster on this hardware)")
+                    choices=["auto", "device", "device-chain", "native",
+                             "wave"],
+                    help="seed-lookup + chain-DP executor (auto probes the "
+                         "tunnel and picks the faster path on this "
+                         "hardware); wave = device lookup/chain auto + "
+                         "wave-batched device extension")
     args = ap.parse_args()
 
     if args.cpu:
@@ -107,8 +109,11 @@ def main():
 
     pairs = [make_pair(r) for r in reads]
 
+    extend_exec = "device" if args.chain_exec == "wave" else "native"
+    chain_exec = "auto" if args.chain_exec == "wave" else args.chain_exec
     pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=args.batch,
-                                 chain_exec=args.chain_exec)
+                                 chain_exec=chain_exec,
+                                 extend_exec=extend_exec)
     t0 = time.time()
     pipe.warmup()
     warm_s = time.time() - t0
@@ -143,6 +148,14 @@ def main():
         f"(true events={len(truth)})\n")
     from circminer_tpu.utils.timing import GLOBAL_TIMER
     sys.stderr.write(GLOBAL_TIMER.report() + "\n")
+    if pipe.wave_stats["batches"]:
+        ws = pipe.wave_stats
+        sv = pipe.align_svc
+        sys.stderr.write(
+            f"[bench] wave engine: {ws['waves']} waves / {ws['batches']} "
+            f"batches ({ws['waves'] / ws['batches']:.1f}/batch), "
+            f"{sv.n_dispatch} dispatches, {sv.n_device} device / "
+            f"{sv.n_host} host requests\n")
 
     print(json.dumps({
         "metric": "pe_reads_per_sec_chip_map_call",

@@ -54,11 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-A", "--sam", action="store_true")
     p.add_argument("-P", "--pam", action="store_true")
     p.add_argument("--device",
-                   choices=["auto", "tpu", "tpu-chain", "native", "host"],
+                   choices=["auto", "tpu", "tpu-chain", "tpu-wave",
+                            "native", "host"],
                    default="auto",
                    help="mapping executor: tpu = batched pipeline, device "
                         "seed lookup + native chain/filter (default); "
-                        "tpu-chain = dense device chain DP; native = "
+                        "tpu-chain = dense device chain DP; tpu-wave = "
+                        "wave-batched device extension (one fused DP "
+                        "dispatch per wave); native = "
                         "batched host C++; host = per-read python oracle")
     p.add_argument("--mrsfast-format", action="store_true",
                    help="with --index: also write the reference's mrsFAST "
@@ -201,14 +204,25 @@ def _run_search_stages(args, cfg: Config) -> int:
         if n_hosts > 1:
             # dp striping: host h maps pairs h, h+N, ... of the stream
             pair_src = stripe_pairs(pair_src, host_id, n_hosts)
-        if args.device in ("auto", "tpu", "tpu-chain", "native"):
+        if args.device in ("auto", "tpu", "tpu-chain", "tpu-wave", "native"):
             from .pipeline.device_pipeline import DeviceMappingPipeline
             exec_map = {"auto": "auto", "tpu": "device",
-                        "tpu-chain": "device-chain", "native": "native"}
-            pipe = DeviceMappingPipeline(db, gi, cfg,
-                                         chain_exec=exec_map[args.device])
+                        "tpu-chain": "device-chain", "tpu-wave": "auto",
+                        "native": "native"}
+            pipe = DeviceMappingPipeline(
+                db, gi, cfg, chain_exec=exec_map[args.device],
+                extend_exec="device" if args.device == "tpu-wave"
+                else "native")
             pipe.warmup()
             n = pipe.map_stream_all_contigs(pair_src, out, remain, conloc)
+            if pipe.wave_stats["batches"]:
+                ws = pipe.wave_stats
+                sv = pipe.align_svc
+                print(f"[INFO] wave engine: {ws['waves']} waves over "
+                      f"{ws['batches']} batch(es) "
+                      f"({ws['waves'] / ws['batches']:.1f}/batch), "
+                      f"{sv.n_dispatch} dispatches, {sv.n_device} device / "
+                      f"{sv.n_host} host requests", file=sys.stderr)
         else:
             mappers = [
                 Mapper(db, c, gi.contigs[c].codes, cfg,

@@ -29,7 +29,6 @@ tests/test_align_device.py and end-to-end by tests/test_extend_batch.py).
 
 from __future__ import annotations
 
-from collections import defaultdict
 from functools import partial
 from typing import List, Tuple
 
@@ -169,6 +168,34 @@ def one_side_batch_ref(s, t, n, m, wv, *, I: int = 128):
 
 
 # --------------------------------------------------------------------------
+# fused whole-wave dispatch: every kernel family over one packed buffer
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("w", "max_ed", "max_sc", "mat", "mis",
+                                   "ind", "xd", "I"))
+def wave_all_batch_ref(s, t, n, m, wv, *, w, max_ed, max_sc, mat, mis, ind,
+                       xd, I: int = 128):
+    """One dispatch for a whole mixed-kind wave: runs all four DP families
+    (edit+soft-clip, X-drop, edit-to-end, one-sided) over the packed
+    [B, I-1] buffers and returns ONE int32 [B, 10] tensor
+
+        [e_ed, e_sclen, e_indel, e_score, x_score, x_on_s, x_on_t,
+         n_ed, n_indel, o_ed]
+
+    so the whole wave costs a single 2-D d2h fetch (the tunnel charges per
+    fetch, not per byte, at these sizes — HW_NOTES.md).  Each row's caller
+    reads only its own kind's columns; the other columns are don't-care."""
+    e_ed, e_sc, e_in, e_scr = edit_sc_batch_ref(
+        s, t, n, m, w=w, max_ed=max_ed, max_sc=max_sc, I=I)
+    x_scr, x_on_s, x_on_t = xdrop_batch_ref(
+        s, t, n, m, w=w, mat=mat, mis=mis, ind=ind, xd=xd, I=I)
+    n_ed, n_in = edit_end_scan_ref(s, t, n, m, w=w, max_ed=max_ed, I=I)
+    o_ed = one_side_scan_ref(s, t, n, m, wv, I=I)
+    return jnp.stack([e_ed, e_sc, e_in, e_scr, x_scr, x_on_s, x_on_t,
+                      n_ed, n_in, o_ed], axis=1)
+
+
+# --------------------------------------------------------------------------
 # the wave service
 # --------------------------------------------------------------------------
 
@@ -197,136 +224,19 @@ class DeviceAlignService:
         return self.inline.solve(req)
 
     def solve_batch(self, reqs: List[tuple]) -> List[tuple]:
+        """Answer one mixed-kind wave with ONE fused device dispatch per
+        B-row chunk (wave_all_batch_ref) and ONE [B, 10] int32 fetch —
+        out-of-regime shapes go to the scalar host aligner as before."""
         out = [None] * len(reqs)
-        groups = defaultdict(list)
+        dev = []
         for idx, r in enumerate(reqs):
-            groups[r[0]].append(idx)
-        for kind, idxs in groups.items():
-            if kind in ("edit_sc_r", "edit_sc_l"):
-                self._solve_edit_sc(kind, idxs, reqs, out)
-            elif kind in ("drop_sc_r", "drop_sc_l"):
-                self._solve_drop_sc(kind, idxs, reqs, out)
-            elif kind in ("end_r", "end_l"):
-                self._solve_end(kind, idxs, reqs, out)
-            elif kind == "one_side":
-                self._solve_one_side(idxs, reqs, out)
-            else:
-                raise ValueError(f"unknown align request kind {kind!r}")
-        return out
-
-    # ---- packing helpers ----
-    def _chunks(self, idxs):
-        for c0 in range(0, len(idxs), self.B):
-            yield idxs[c0:c0 + self.B]
-
-    def _pack(self, idxs, reqs, reverse: bool):
-        B = self.B
-        s_buf = np.zeros((B, self.I - 1), np.int8)
-        t_buf = np.zeros((B, self.I - 1), np.int8)
-        n = np.zeros(B, np.int32)
-        m = np.zeros(B, np.int32)
-        for r, idx in enumerate(idxs):
-            s, t = reqs[idx][1], reqs[idx][2]
-            if reverse:
-                s, t = s[::-1], t[::-1]
-            n[r] = len(s)
-            m[r] = len(t)
-            s_buf[r, :len(s)] = s
-            t_buf[r, :len(t)] = t
-        return s_buf, t_buf, n, m
-
-    def _split_banded(self, idxs, reqs, out):
-        """Route shapes outside the banded regime (oracle falls back to the
-        full DP there, align.cpp:397-399) to the scalar host aligner."""
-        w = self.cfg.band_width
-        dev, host = [], []
-        for idx in idxs:
-            s, t = reqs[idx][1], reqs[idx][2]
-            if len(s) > 2 * w and len(t) > w and len(s) < self.I \
-                    and len(t) < self.I:
+            if self._in_regime(r):
                 dev.append(idx)
             else:
-                host.append(idx)
-        for idx in host:
-            out[idx] = self.inline.solve(reqs[idx])
-        self.n_host += len(host)
-        self.n_device += len(dev)
-        return dev
-
-    # ---- per-kind solvers ----
-    def _solve_edit_sc(self, kind, idxs, reqs, out):
-        dev = self._split_banded(idxs, reqs, out)
-        c = self.cfg
-        for chunk in self._chunks(dev):
-            s, t, n, m = self._pack(chunk, reqs,
-                                    reverse=(kind == "edit_sc_l"))
-            ed, sclen, indel, score = edit_sc_batch_ref(
-                jnp.asarray(s), jnp.asarray(t), jnp.asarray(n),
-                jnp.asarray(m), w=c.band_width, max_ed=c.max_ed,
-                max_sc=c.max_sc, I=self.I)
-            res = np.asarray(jnp.stack([ed, sclen, indel, score], axis=1))
-            self.n_dispatch += 1
-            for r, idx in enumerate(chunk):
-                out[idx] = (int(res[r, 0]), int(res[r, 1]), int(res[r, 2]),
-                            int(res[r, 3]))
-
-    def _solve_drop_sc(self, kind, idxs, reqs, out):
-        # the X-drop DP has no small-shape fallback in the oracle; route
-        # only over-length inputs (none in practice) to the host
-        left = kind == "drop_sc_l"
-        dev, host = [], []
-        for idx in idxs:
-            if len(reqs[idx][1]) < self.I and len(reqs[idx][2]) < self.I:
-                dev.append(idx)
-            else:
-                host.append(idx)
-        for idx in host:
-            out[idx] = self.inline.solve(reqs[idx])
-        self.n_host += len(host)
+                out[idx] = self.inline.solve(r)
+        self.n_host += len(reqs) - len(dev)
         self.n_device += len(dev)
         c, sm = self.cfg, self.sm
-        for chunk in self._chunks(dev):
-            s, t, n, m = self._pack(chunk, reqs, reverse=left)
-            score, on_s, on_t = xdrop_batch_ref(
-                jnp.asarray(s), jnp.asarray(t), jnp.asarray(n),
-                jnp.asarray(m), w=c.band_width, mat=sm.mat, mis=sm.mis,
-                ind=sm.ind, xd=sm.xd, I=self.I)
-            blob = np.asarray(jnp.stack([score, on_s, on_t], axis=1))
-            self.n_dispatch += 1
-            ed, sclen, indel, scr = drop_local_sc_batch(
-                blob[:, 0], blob[:, 1], blob[:, 2], m, mat=sm.mat,
-                mis=sm.mis, w=c.band_width, max_ed=c.max_ed, max_sc=c.max_sc,
-                left=left)
-            for r, idx in enumerate(chunk):
-                out[idx] = (int(ed[r]), int(sclen[r]), int(indel[r]),
-                            int(scr[r]))
-
-    def _solve_end(self, kind, idxs, reqs, out):
-        dev = self._split_banded(idxs, reqs, out)
-        c = self.cfg
-        for chunk in self._chunks(dev):
-            s, t, n, m = self._pack(chunk, reqs, reverse=(kind == "end_l"))
-            ed, indel = edit_end_batch_ref(
-                jnp.asarray(s), jnp.asarray(t), jnp.asarray(n),
-                jnp.asarray(m), w=c.band_width, max_ed=c.max_ed, I=self.I)
-            res = np.asarray(jnp.stack([ed, indel], axis=1))
-            self.n_dispatch += 1
-            for r, idx in enumerate(chunk):
-                out[idx] = (int(res[r, 0]), int(res[r, 1]), -int(res[r, 0]))
-
-    def _solve_one_side(self, idxs, reqs, out):
-        dev, host = [], []
-        for idx in idxs:
-            s, t, w = reqs[idx][1], reqs[idx][2], reqs[idx][3]
-            if w >= 0 and len(s) > w and len(t) > w and len(s) < self.I \
-                    and len(t) < self.I:
-                dev.append(idx)
-            else:
-                host.append(idx)
-        for idx in host:
-            out[idx] = self.inline.solve(reqs[idx])
-        self.n_host += len(host)
-        self.n_device += len(dev)
         for chunk in self._chunks(dev):
             B = self.B
             s_buf = np.zeros((B, self.I - 1), np.int8)
@@ -334,18 +244,74 @@ class DeviceAlignService:
             n = np.zeros(B, np.int32)
             m = np.zeros(B, np.int32)
             wv = np.zeros(B, np.int32)
-            for r, idx in enumerate(chunk):
-                s, t, w = reqs[idx][1], reqs[idx][2], reqs[idx][3]
-                n[r], m[r], wv[r] = len(s), len(t), w
-                s_buf[r, :len(s)] = s
-                t_buf[r, :len(t)] = t
-            edv = one_side_batch_ref(
+            kinds: List[str] = []
+            for r_i, idx in enumerate(chunk):
+                req = reqs[idx]
+                kind = req[0]
+                s, t = req[1], req[2]
+                if kind in ("edit_sc_l", "drop_sc_l", "end_l"):
+                    s, t = s[::-1], t[::-1]
+                if kind == "one_side":
+                    wv[r_i] = req[3]
+                n[r_i], m[r_i] = len(s), len(t)
+                s_buf[r_i, :len(s)] = s
+                t_buf[r_i, :len(t)] = t
+                kinds.append(kind)
+            blob = np.asarray(wave_all_batch_ref(
                 jnp.asarray(s_buf), jnp.asarray(t_buf), jnp.asarray(n),
-                jnp.asarray(m), jnp.asarray(wv), I=self.I)
-            res = np.asarray(jnp.stack([edv, edv], axis=1))[:, 0]
+                jnp.asarray(m), jnp.asarray(wv), w=c.band_width,
+                max_ed=c.max_ed, max_sc=c.max_sc, mat=sm.mat, mis=sm.mis,
+                ind=sm.ind, xd=sm.xd, I=self.I))
             self.n_dispatch += 1
-            for r, idx in enumerate(chunk):
-                out[idx] = int(res[r])
+            # X-drop wrap-up arithmetic, vectorized per side
+            drop_res = {}
+            for side, left in (("drop_sc_r", False), ("drop_sc_l", True)):
+                rows = [r_i for r_i, k in enumerate(kinds) if k == side]
+                if not rows:
+                    continue
+                rr = np.array(rows)
+                ed, sclen, indel, scr = drop_local_sc_batch(
+                    blob[rr, 4], blob[rr, 5], blob[rr, 6], m[rr],
+                    mat=sm.mat, mis=sm.mis, w=c.band_width, max_ed=c.max_ed,
+                    max_sc=c.max_sc, left=left)
+                for j, r_i in enumerate(rows):
+                    drop_res[r_i] = (int(ed[j]), int(sclen[j]),
+                                     int(indel[j]), int(scr[j]))
+            for r_i, idx in enumerate(chunk):
+                k = kinds[r_i]
+                row = blob[r_i]
+                if k in ("edit_sc_r", "edit_sc_l"):
+                    out[idx] = (int(row[0]), int(row[1]), int(row[2]),
+                                int(row[3]))
+                elif k in ("drop_sc_r", "drop_sc_l"):
+                    out[idx] = drop_res[r_i]
+                elif k in ("end_r", "end_l"):
+                    out[idx] = (int(row[7]), int(row[8]), -int(row[7]))
+                else:  # one_side
+                    out[idx] = int(row[9])
+        return out
+
+    def _in_regime(self, req) -> bool:
+        """True when the request's shapes fall inside the fused kernels'
+        banded regime; outside it the oracle falls back to full DP
+        (align.cpp:397-399) and the scalar host aligner answers."""
+        kind, s, t = req[0], req[1], req[2]
+        if len(s) >= self.I or len(t) >= self.I:
+            return False
+        w = self.cfg.band_width
+        if kind in ("edit_sc_r", "edit_sc_l", "end_r", "end_l"):
+            return len(s) > 2 * w and len(t) > w
+        if kind in ("drop_sc_r", "drop_sc_l"):
+            return True
+        if kind == "one_side":
+            ws = req[3]
+            return ws >= 0 and len(s) > ws and len(t) > ws
+        raise ValueError(f"unknown align request kind {kind!r}")
+
+    # ---- helpers ----
+    def _chunks(self, idxs):
+        for c0 in range(0, len(idxs), self.B):
+            yield idxs[c0:c0 + self.B]
 
     def warm(self):
         """Compile every kernel at the fixed dispatch shape (one compile

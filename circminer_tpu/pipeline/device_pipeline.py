@@ -160,6 +160,7 @@ class DeviceMappingPipeline:
         # batched device DP dispatches — extend_batch.py/align_device.py)
         self.extend_exec = extend_exec
         self.align_svc = None
+        self.wave_stats = {"waves": 0, "batches": 0}
         if extend_exec == "device":
             from ..ops.align_device import DeviceAlignService
             self.align_svc = DeviceAlignService(cfg)
@@ -412,7 +413,9 @@ class DeviceMappingPipeline:
                     ch = chains_out[r] if chains_out[r] is not None else []
                     quad.append((ch, int(hh_h[r])))
                 gens.append(mapper.process_read_pe_g(r1, r2, tuple(quad)))
-            run_waves(gens, self.align_svc)
+            _, n_waves = run_waves(gens, self.align_svc)
+            self.wave_stats["waves"] += n_waves
+            self.wave_stats["batches"] += 1
 
     def _finish_device(self, cf) -> None:
         """Fetch per-bucket DP results, extract k-best chains natively, and
@@ -696,45 +699,130 @@ class DeviceMappingPipeline:
             n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
         return np.asarray(packed)
 
+    # ---- executor auto-selection (fast: small probes + decision cache) ----
+
+    def _decision_cache_path(self):
+        import hashlib
+        import socket
+        d = jax.devices()[0]
+        key = f"{socket.gethostname()}|{d.platform}|{d.device_kind}|" \
+              f"{self.batch}|{self.n_lists}"
+        h = hashlib.sha1(key.encode()).hexdigest()[:16]
+        root = os.environ.get("CIRCMINER_CACHE_DIR",
+                              os.path.expanduser("~/.cache/circminer_tpu"))
+        return os.path.join(root, f"executor_{h}.json"), key
+
+    def _cached_decision(self):
+        import json
+        path, key = self._decision_cache_path()
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("key") == key:
+                return rec.get("executor")
+        except Exception:
+            pass
+        return None
+
+    def _store_decision(self, executor: str, detail: dict):
+        import json
+        path, key = self._decision_cache_path()
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"key": key, "executor": executor, **detail}, f)
+        except Exception:
+            pass
+
+    def _probe_decision(self) -> str:
+        """Pick device vs host lookup in seconds, without ever paying the
+        full-batch first-fetch stall (HW_NOTES.md: minutes on the tunneled
+        chip): measure d2h latency + bandwidth with two SMALL 2-D int8
+        fetches, estimate the real per-batch lookup-fetch cost from them,
+        and compare against one timed host C++ lookup."""
+        import sys
+        import time as _time
+        st = self.states[0]
+        # two fetch sizes separate latency from bandwidth; int8 2-D shapes
+        # stay off the tunnel's pathological paths (HW_NOTES.md)
+        sizes = [(512, 128), (4096, 256)]  # 64 KB, 1 MB
+        times = []
+        for shp in sizes:
+            x = jnp.ones(shp, jnp.int8)
+            np.asarray(x)  # absorb compile/first-transfer of this shape
+            # a FRESH buffer for the timed fetch: jax.Array caches its host
+            # value after the first np.asarray, which would make a repeat
+            # fetch of the same array free and the bandwidth estimate bogus
+            y = (x + 1).block_until_ready()
+            t0 = _time.time()
+            np.asarray(y)
+            times.append(_time.time() - t0)
+        b1, b2 = (s[0] * s[1] for s in sizes)
+        t1, t2 = times
+        # guard against timing variance making the slope estimate collapse
+        if t2 > 1.05 * t1:
+            bw = (b2 - b1) / (t2 - t1)               # bytes/s
+        else:
+            bw = b2 / max(t2, 1e-6)
+        bw = max(bw, 1e5)
+        lat = max(t1 - b1 / bw, 1e-4)
+        # per-batch device path: ~0.1 ms compute (measured, HW_NOTES.md) +
+        # one [4B, 2NL+1] int32 fetch
+        payload = 4 * self.batch * (2 * self.n_lists + 1) * 4
+        est_dev = 1e-3 + lat + payload / bw
+        R = 4 * self.batch
+        reads_h = np.zeros((R, self.cfg.max_read_len), np.int8)
+        lens_h = np.full(R, self.cfg.max_read_len, np.int32)
+        t0 = _time.time()
+        st.seeder.lookup(reads_h, lens_h)
+        host_s = _time.time() - t0
+        choice = "device" if est_dev < host_s else "native"
+        detail = dict(d2h_bw_mbps=round(bw / 1e6, 1),
+                      d2h_lat_ms=round(lat * 1e3, 2),
+                      est_device_ms=round(est_dev * 1e3, 1),
+                      host_ms=round(host_s * 1e3, 1))
+        sys.stderr.write(
+            f"[pipeline] auto executor: d2h {detail['d2h_bw_mbps']} MB/s "
+            f"lat {detail['d2h_lat_ms']} ms -> est device lookup "
+            f"{detail['est_device_ms']} ms vs host {detail['host_ms']} ms "
+            f"per batch -> {choice}\n")
+        if jax.devices()[0].platform != "cpu":
+            self._store_decision(choice, detail)
+        return choice
+
     def warmup(self):
         """Compile and exercise every device executable shape so no compile
         (or first-transfer stall) lands inside the streamed region; in
-        "auto" mode, additionally time one warm device lookup round-trip
-        against one host C++ lookup on this hardware and pick the faster
-        executor.  No-op in native mode (nothing to compile)."""
+        "auto" mode pick the executor from a cached decision or a
+        seconds-scale tunnel probe (never the 20-minute full-batch stall).
+        No-op in native mode (nothing to compile)."""
         if self.align_svc is not None:
             self.align_svc.warm()
         if self.chain_exec == "native":
             return
-        import time as _time
         cfg = self.cfg
         st = self.states[0]
         ad = st.anno
         NL = self.n_lists
         L = cfg.max_read_len
         R = 4 * self.batch
+        if self.chain_exec == "auto":
+            forced = os.environ.get("CIRCMINER_EXECUTOR")
+            choice = forced or self._cached_decision()
+            src = "env" if forced else ("cache" if choice else "probe")
+            if choice is None:
+                choice = self._probe_decision()
+            else:
+                import sys
+                sys.stderr.write(
+                    f"[pipeline] auto executor: {choice} (from {src})\n")
+            self.chain_exec = choice
+            if choice == "native":
+                return
         reads0 = jnp.zeros((R, L), jnp.int8)
         lens0 = jnp.zeros(R, jnp.int32)
-        # compile + absorb the first d2h fetch: on tunneled backends the
-        # very first device->host transfer of a session can stall for
-        # minutes (see HW_NOTES.md)
+        # compile + absorb the first d2h fetch of the real batch shape
         self._dev_lookup_once(reads0, lens0, st)
-        if self.chain_exec == "auto":
-            t0 = _time.time()
-            self._dev_lookup_once(reads0, lens0, st)
-            dev_s = _time.time() - t0
-            reads_h = np.zeros((R, L), np.int8)
-            lens_h = np.zeros(R, np.int32)
-            t0 = _time.time()
-            st.seeder.lookup(reads_h, lens_h)
-            host_s = _time.time() - t0
-            self.chain_exec = "device" if dev_s < host_s else "native"
-            import sys
-            sys.stderr.write(
-                f"[pipeline] auto executor: device lookup {dev_s*1e3:.0f} ms"
-                f" vs host {host_s*1e3:.0f} ms per batch -> "
-                f"{self.chain_exec}\n")
-            return
         if self.chain_exec != "device-chain":
             return
         for cap in self._caps():
