@@ -173,22 +173,32 @@ def _run_search_stages(args, cfg: Config) -> int:
         # stage: back-splice evidence requires a paired full mate.
         from .io.fastq import FastqReader
         out = SamOutput(args.output, fmt, info)
-        mappers = [
-            Mapper(db, c, gi.contigs[c].codes, cfg,
-                   make_host_seeder(gi.contigs[c], cfg))
-            for c in range(n_contigs)
-        ]
-        n = 0
-        for rec in FastqReader(args.seq, cfg):
-            for c, mapper in enumerate(mappers):
-                state = mapper.process_read_se(rec)
-                if cfg.scan_level == 0 and state == CONCRD:
-                    break
-            if fmt == "sam":
-                out.write_sam_se(rec)
-            elif fmt == "pam":
-                out.write_pam_se(rec)
-            n += 1
+        if args.device in ("auto", "tpu", "tpu-chain", "tpu-wave", "native"):
+            from .pipeline.device_pipeline import DeviceMappingPipeline
+            exec_map = {"auto": "auto", "tpu": "device",
+                        "tpu-chain": "device-chain", "tpu-wave": "auto",
+                        "native": "native"}
+            pipe = DeviceMappingPipeline(db, gi, cfg,
+                                         chain_exec=exec_map[args.device])
+            pipe.warmup()
+            n = pipe.map_stream_se(FastqReader(args.seq, cfg), out, fmt)
+        else:
+            mappers = [
+                Mapper(db, c, gi.contigs[c].codes, cfg,
+                       make_host_seeder(gi.contigs[c], cfg))
+                for c in range(n_contigs)
+            ]
+            n = 0
+            for rec in FastqReader(args.seq, cfg):
+                for c, mapper in enumerate(mappers):
+                    state = mapper.process_read_se(rec)
+                    if cfg.scan_level == 0 and state == CONCRD:
+                        break
+                if fmt == "sam":
+                    out.write_sam_se(rec)
+                elif fmt == "pam":
+                    out.write_pam_se(rec)
+                n += 1
         out.close()
         print(f"[INFO] SE mapping done: {n} reads", file=sys.stderr)
         return 0

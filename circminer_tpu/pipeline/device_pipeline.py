@@ -224,13 +224,31 @@ class DeviceMappingPipeline:
                     lens[4 * i + o] = len(s)
         return seqs, lens
 
-    def dispatch_lookup(self, recs, contig: int):
+    def _encode_se(self, recs, pad_rows: Optional[int] = None):
+        """2 rows per read: (fwd, rc) — the SE layout (filter.cpp:86-121)."""
+        cfg = self.cfg
+        n = len(recs)
+        L = cfg.max_read_len
+        R = 2 * n if pad_rows is None else pad_rows
+        with T.phase("encode"):
+            seqs = np.zeros((R, L), dtype=np.int8)
+            lens = np.zeros(R, dtype=np.int32)
+            for i, r in enumerate(recs):
+                for o, s in enumerate((r.seq, r.rcseq)):
+                    seqs[2 * i + o, :len(s)] = s
+                    lens[2 * i + o] = len(s)
+        return seqs, lens
+
+    def dispatch_lookup(self, recs, contig: int, rpr: int = 4):
+        """rpr = rows per record: 4 for PE (r1f, r1rc, r2f, r2rc),
+        2 for SE (fwd, rc)."""
         cfg = self.cfg
         st = self.states[contig]
+        enc = self._encode if rpr == 4 else self._encode_se
         if self.chain_exec in ("device", "device-chain", "auto"):
             # pad to the compiled batch shape so the last partial batch
             # reuses the warm executable
-            seqs, lens = self._encode(recs, pad_rows=4 * self.batch)
+            seqs, lens = enc(recs, pad_rows=rpr * self.batch)
             with T.phase("lookup_dispatch"):
                 packed = _lookup_even(
                     jnp.asarray(seqs), jnp.asarray(lens),
@@ -249,12 +267,12 @@ class DeviceMappingPipeline:
             th.start()
             return dict(recs=recs, contig=contig, dev_lookup=packed,
                         fetch_thread=th, fetch_holder=holder,
-                        lens=lens, seqs=seqs)
-        seqs, lens = self._encode(recs)
+                        lens=lens, seqs=seqs, rpr=rpr)
+        seqs, lens = enc(recs)
         with T.phase("host_lookup"):
             qpos, start, cnt, high = st.seeder.lookup(seqs, lens)
         return dict(recs=recs, contig=contig, qpos=qpos, start=start,
-                    cnt=cnt, high=high, lens=lens, seqs=seqs)
+                    cnt=cnt, high=high, lens=lens, seqs=seqs, rpr=rpr)
 
     def _fetch_lookup(self, lf):
         """Fetch the device lookup result and rewrite lf to host layout,
@@ -269,7 +287,7 @@ class DeviceMappingPipeline:
                 packed_h = np.asarray(lf["dev_lookup"])
         NL = self.n_lists
         k = self.cfg.kmer
-        n_rows = 4 * len(lf["recs"])
+        n_rows = lf.get("rpr", 4) * len(lf["recs"])
         lens = lf["lens"][:n_rows]
         ql = (np.arange(NL, dtype=np.int32) * k)[None, :]
         qpos = np.where(ql + k <= lens[:, None], ql, 0).astype(np.int32)
@@ -278,7 +296,8 @@ class DeviceMappingPipeline:
                     start=packed_h[:n_rows, :NL],
                     cnt=packed_h[:n_rows, NL:2 * NL],
                     high=packed_h[:n_rows, 2 * NL].copy(),
-                    lens=lens, seqs=lf["seqs"][:n_rows])
+                    lens=lens, seqs=lf["seqs"][:n_rows],
+                    rpr=lf.get("rpr", 4))
 
     # ---- stage 2: bucket by occupancy, dispatch chain DP ----
     def dispatch_chain(self, lf):
@@ -329,7 +348,7 @@ class DeviceMappingPipeline:
                                 qpos_h[sub], fut))
         return dict(recs=lf["recs"], contig=lf["contig"], buckets=buckets,
                     cnt=cnt_h, qpos=qpos_h, hh=hh_h, seqs=lf["seqs"],
-                    lens=lf["lens"], device=True)
+                    lens=lf["lens"], device=True, rpr=lf.get("rpr", 4))
 
     def _chain_native(self, lf):
         """Host path: gather + multithreaded C++ chain DP, occupancy-bucketed
@@ -358,7 +377,7 @@ class DeviceMappingPipeline:
             parts.append((rows, rp, qp, cl, sc, n))
         return dict(recs=lf["recs"], contig=lf["contig"], parts=parts,
                     cnt=cnt_h, qpos=qpos_h, hh=lf["high"], native=True,
-                    seqs=lf["seqs"], lens=lf["lens"])
+                    seqs=lf["seqs"], lens=lf["lens"], rpr=lf.get("rpr", 4))
 
     # ---- stage 3: fetch chains, finish on host ----
     def finish(self, cf) -> None:
@@ -572,6 +591,126 @@ class DeviceMappingPipeline:
                     chains = NativeChainer.to_chains(rp, qp, cl, sc, cn, k)
                     quad.append((chains, int(hh_h[r])))
                 mapper.process_read_pe(r1, r2, tuple(quad))
+
+    # ---- single-end batched pipeline (filter.cpp:86-121) ----
+
+    def _assemble_chains(self, cf, R):
+        """Stack per-bucket chain results into dense [R, C, NL] arrays."""
+        cfg = self.cfg
+        C = cfg.max_chain_len
+        NL = self.n_lists
+        rp_f = np.zeros((R, C, NL), np.int32)
+        qp_f = np.zeros((R, C, NL), np.int32)
+        cl_f = np.zeros((R, C), np.int32)
+        sc_f = np.zeros((R, C), np.float64)
+        cn_f = np.zeros(R, np.int32)
+        if cf.get("native"):
+            for rows, rp, qp, cl, sc, cn in cf["parts"]:
+                rp_f[rows] = rp
+                qp_f[rows] = qp
+                cl_f[rows] = cl
+                sc_f[rows] = sc
+                cn_f[rows] = cn
+        else:
+            from ..ops.chain_native import NativeChainer
+            st = self.states[cf["contig"]]
+            k = cfg.kmer
+            for rows, cap, start_b, cnt_b, qpos_b, fut in cf["buckets"]:
+                with T.phase(f"chain_fetch_cap{cap}"):
+                    fut.block_until_ready()
+                    blob = np.asarray(fut).reshape(-1, NL, 2 * cap)
+                Rb = len(rows)
+                pos_b = st.seeder.gather(start_b, np.minimum(cnt_b, cap),
+                                         cap)
+                rp, qp, cl, sc, cn = NativeChainer.extract_batch(
+                    blob[:Rb, :, :cap], blob[:Rb, :, cap:], pos_b, qpos_b,
+                    cnt_b, k, C, n_threads=cfg.resolved_threads)
+                sel = rows < R
+                rp_f[rows[sel]] = rp[sel]
+                qp_f[rows[sel]] = qp[sel]
+                cl_f[rows[sel]] = cl[sel]
+                sc_f[rows[sel]] = sc[sel]
+                cn_f[rows[sel]] = cn[sel]
+        return rp_f, qp_f, cl_f, sc_f, cn_f
+
+    def _finish_se(self, cf) -> None:
+        """SE finish: extend fwd then rc chains per read, first CONCRD wins
+        (the batched form of Mapper.process_read_se)."""
+        from ..ops.filter_native import NativeFilter
+        from ..utils import logging as ulog
+        cfg = self.cfg
+        recs = cf["recs"]
+        n = len(recs)
+        R = 2 * n
+        nf = self.filters[cf["contig"]]
+        rp_f, qp_f, cl_f, sc_f, cn_f = self._assemble_chains(cf, R)
+        if nf is not None and ulog.TRACE_LEVEL < 1:
+            with T.phase("filter_state"):
+                from .types import MatchedRead
+                default_row = NativeFilter.mr_to_state(
+                    MatchedRead.default(cfg.max_ed), nf.chr_names)
+                mr_state = np.tile(default_row, (n, 1))
+                for i, r in enumerate(recs):
+                    if r.mr is not None and r.mr.touched:
+                        mr_state[i] = NativeFilter.mr_to_state(r.mr,
+                                                               nf.chr_names)
+                mr_state = np.ascontiguousarray(mr_state)
+            with T.phase("filter_native_se"):
+                states = nf.filter_se(cf["seqs"][:R], cf["lens"][:R],
+                                      rp_f, qp_f, cl_f, sc_f, cn_f, mr_state)
+            with T.phase("filter_writeback"):
+                from ..config import CONCRD as _CONCRD
+                for i, r in enumerate(recs):
+                    if r.mr is not None and mr_state[i][0] == _CONCRD:
+                        NativeFilter.state_to_mr(mr_state[i], r.mr,
+                                                 nf.chr_names)
+            return
+        # python fallback (also the -d trace path)
+        from ..ops.chain_native import NativeChainer
+        mapper = self.mappers[cf["contig"]]
+        k = cfg.kmer
+        with T.phase("host_finish"):
+            for i, r in enumerate(recs):
+                if cfg.scan_level == 0 and r.mr is not None \
+                        and r.mr.type == CONCRD:
+                    continue
+                fc = NativeChainer.to_chains(rp_f[2 * i], qp_f[2 * i],
+                                             cl_f[2 * i], sc_f[2 * i],
+                                             cn_f[2 * i], k)
+                bc = NativeChainer.to_chains(rp_f[2 * i + 1], qp_f[2 * i + 1],
+                                             cl_f[2 * i + 1], sc_f[2 * i + 1],
+                                             cn_f[2 * i + 1], k)
+                mapper.process_read_se(r, ((fc, 0), (bc, 0)))
+
+    def map_stream_se(self, reads: Iterable[ReadRecord], out=None,
+                      fmt: Optional[str] = None) -> int:
+        """Batched SE mapping over every contig (the batched equivalent of
+        the reference's per-round SE loop, circminer.cpp:398-402)."""
+        n_total = 0
+        n_contigs = len(self.states)
+
+        def flush(buf):
+            if not buf:
+                return 0
+            for c in range(n_contigs):
+                lf = self.dispatch_lookup(buf, c, rpr=2)
+                cf = self.dispatch_chain(lf)
+                self._finish_se(cf)
+            for rec in buf:
+                if out is not None and fmt == "sam":
+                    out.write_sam_se(rec)
+                elif out is not None and fmt == "pam":
+                    out.write_pam_se(rec)
+            return len(buf)
+
+        buf = []
+        for rec in reads:
+            buf.append(rec)
+            if len(buf) >= self.batch:
+                n_total += flush(buf)
+                buf = []
+        n_total += flush(buf)
+        return n_total
 
     def _caps(self):
         caps = [c for c in self.cfg.seed_buckets if c <= self.cfg.seed_lim]

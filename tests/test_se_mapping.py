@@ -109,3 +109,50 @@ def test_se_cli(tmp_path):
     for l in mapped:
         f = l.split("\t")
         int(f[1]); int(f[3])
+
+
+def test_se_batched_pipeline_parity(se_pipeline, tmp_path):
+    """The batched SE pipeline (device_pipeline.map_stream_se, native C++
+    finish) produces the same per-read state as the per-read oracle."""
+    rng, g, cfg, _ = se_pipeline
+    ref = None
+    # rebuild the same world (module fixture keeps only mapper)
+    gp_tmp = tmp_path
+    refp = str(gp_tmp / "ref.fa")
+    gtfp = str(gp_tmp / "ref.gtf")
+    g.write_fasta(refp)
+    g.write_gtf(gtfp)
+    gp = GenomePacker(refp)
+    contigs, info = gp.pack_genome()
+    gi = build_genome_index(contigs, cfg)
+    db = AnnotationDB.from_gtf(gtfp, info, len(contigs), cfg,
+                               contig_lengths=[len(c) for c in contigs])
+
+    reads, _ = simulate_reads(rng, g, n_linear=30, n_circ=0)
+    seqs = [r.r1 for r in reads]
+    seqs.append("".join(rng.choice(list("ACGT"), 100)))  # a junk read
+    t = g.genes[0].transcripts[0]
+    s, e = t.exons[0]
+    seqs.append(decode_seq(revcomp(encode_seq(g.seq[s - 1:s - 1 + 100]))))
+
+    recs_a = [make_rec(cfg, s_) for s_ in seqs]
+    recs_b = [make_rec(cfg, s_) for s_ in seqs]
+
+    mapper = Mapper(db, 0, gi.contigs[0].codes, cfg,
+                    make_host_seeder(gi.contigs[0], cfg))
+    for rec in recs_a:
+        mapper.process_read_se(rec)
+
+    from circminer_tpu.pipeline.device_pipeline import DeviceMappingPipeline
+    pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=16,
+                                 chain_exec="native")
+    n = pipe.map_stream_se(iter(recs_b))
+    assert n == len(seqs)
+
+    for ra, rb in zip(recs_a, recs_b):
+        assert rb.mr.type == ra.mr.type
+        if ra.mr.type == CONCRD:
+            assert (rb.mr.spos_r1, rb.mr.epos_r1, rb.mr.ed_r1,
+                    rb.mr.r1_forward) == \
+                   (ra.mr.spos_r1, ra.mr.epos_r1, ra.mr.ed_r1,
+                    ra.mr.r1_forward)
