@@ -40,11 +40,14 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--exec", dest="chain_exec", default="auto",
                     choices=["auto", "device", "device-chain", "native",
-                             "wave"],
+                             "wave", "device-full"],
                     help="seed-lookup + chain-DP executor (auto probes the "
                          "tunnel and picks the faster path on this "
                          "hardware); wave = device lookup/chain auto + "
-                         "wave-batched device extension")
+                         "wave-batched device extension; device-full = "
+                         "the fused on-device finish (lookup->chain->"
+                         "extend->categories in one dispatch, only final "
+                         "MatchedRead state crosses d2h)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -140,6 +143,12 @@ def main():
     n_events = len({(c.spos, c.epos) for c in pc.circ_res})
     backend = jax.devices()[0].platform
 
+    if pipe.full_stats["reads"]:
+        fs = pipe.full_stats
+        sys.stderr.write(
+            f"[bench] device-full: {fs['reads']} reads, {fs['deferred']} "
+            f"deferred to host ({100.0 * fs['deferred'] / fs['reads']:.1f}%),"
+            f" d2h payload 84 B/pair\n")
     sys.stderr.write(
         f"[bench] backend={backend} executor={pipe.chain_exec} reads={n} "
         f"genome={genome_len} "

@@ -55,13 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-P", "--pam", action="store_true")
     p.add_argument("--device",
                    choices=["auto", "tpu", "tpu-chain", "tpu-wave",
-                            "native", "host"],
+                            "tpu-full", "native", "host"],
                    default="auto",
                    help="mapping executor: tpu = batched pipeline, device "
                         "seed lookup + native chain/filter (default); "
                         "tpu-chain = dense device chain DP; tpu-wave = "
                         "wave-batched device extension (one fused DP "
-                        "dispatch per wave); native = "
+                        "dispatch per wave); tpu-full = fused on-device "
+                        "finish (only final state crosses d2h); native = "
                         "batched host C++; host = per-read python oracle")
     p.add_argument("--mrsfast-format", action="store_true",
                    help="with --index: also write the reference's mrsFAST "
@@ -173,11 +174,12 @@ def _run_search_stages(args, cfg: Config) -> int:
         # stage: back-splice evidence requires a paired full mate.
         from .io.fastq import FastqReader
         out = SamOutput(args.output, fmt, info)
-        if args.device in ("auto", "tpu", "tpu-chain", "tpu-wave", "native"):
+        if args.device in ("auto", "tpu", "tpu-chain", "tpu-wave",
+                           "tpu-full", "native"):
             from .pipeline.device_pipeline import DeviceMappingPipeline
             exec_map = {"auto": "auto", "tpu": "device",
                         "tpu-chain": "device-chain", "tpu-wave": "auto",
-                        "native": "native"}
+                        "tpu-full": "device-full", "native": "native"}
             pipe = DeviceMappingPipeline(db, gi, cfg,
                                          chain_exec=exec_map[args.device])
             pipe.warmup()
@@ -214,11 +216,12 @@ def _run_search_stages(args, cfg: Config) -> int:
         if n_hosts > 1:
             # dp striping: host h maps pairs h, h+N, ... of the stream
             pair_src = stripe_pairs(pair_src, host_id, n_hosts)
-        if args.device in ("auto", "tpu", "tpu-chain", "tpu-wave", "native"):
+        if args.device in ("auto", "tpu", "tpu-chain", "tpu-wave",
+                           "tpu-full", "native"):
             from .pipeline.device_pipeline import DeviceMappingPipeline
             exec_map = {"auto": "auto", "tpu": "device",
                         "tpu-chain": "device-chain", "tpu-wave": "auto",
-                        "native": "native"}
+                        "tpu-full": "device-full", "native": "native"}
             pipe = DeviceMappingPipeline(
                 db, gi, cfg, chain_exec=exec_map[args.device],
                 extend_exec="device" if args.device == "tpu-wave"

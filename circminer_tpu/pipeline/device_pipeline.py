@@ -161,6 +161,7 @@ class DeviceMappingPipeline:
         self.extend_exec = extend_exec
         self.align_svc = None
         self.wave_stats = {"waves": 0, "batches": 0}
+        self.full_stats = {"reads": 0, "deferred": 0}
         if extend_exec == "device":
             from ..ops.align_device import DeviceAlignService
             self.align_svc = DeviceAlignService(cfg)
@@ -168,26 +169,38 @@ class DeviceMappingPipeline:
         if chain_exec in ("native", "device", "auto") and not _chain_avail():
             chain_exec = "device-chain"
         self.chain_exec = chain_exec
+        self.full_anno: List[object] = []
+        self.full_genome: List[object] = []
         self.states: List[ContigDeviceState] = []
         self.mappers: List[Mapper] = []
         self.chainers: List[object] = []
         for c, ci in enumerate(gi.contigs):
             anno = (AnnoDevice.from_contig(db.contigs[c], seg_pad=seg_pad)
-                    if chain_exec == "device-chain" else None)
+                    if chain_exec in ("device-chain", "device-full")
+                    else None)
+            if chain_exec == "device-full":
+                from ..annotation.device import FinishAnnoDevice
+                self.full_anno.append(FinishAnnoDevice.from_contig(
+                    db.contigs[c], db.con2chr[c], seg_pad=seg_pad))
+                self.full_genome.append(jnp.asarray(ci.codes))
+            else:
+                self.full_anno.append(None)
+                self.full_genome.append(None)
             try:
                 from ..ops.seed_native import NativeSeeder
                 seeder = NativeSeeder(ci, cfg)
             except Exception:
                 seeder = _numpy_seeder(ci, cfg)
             st = ContigDeviceState(anno=anno, seeder=seeder)
-            if chain_exec in ("device", "device-chain", "auto"):
+            if chain_exec in ("device", "device-chain", "auto",
+                              "device-full"):
                 st.entry_hv = jnp.asarray(ci.entry_hv)
                 st.entry_checksum = jnp.asarray(
                     ci.entry_checksum.astype(np.int32))
                 st.entry_pos = jnp.asarray(ci.entry_pos)
             self.states.append(st)
             self.mappers.append(Mapper(db, c, ci.codes, cfg, seeder=None))
-            if chain_exec in ("native", "device", "auto"):
+            if chain_exec in ("native", "device", "auto", "device-full"):
                 from ..ops.chain_native import NativeChainer
                 self.chainers.append(NativeChainer(db.contigs[c], cfg))
             else:
@@ -245,6 +258,8 @@ class DeviceMappingPipeline:
         cfg = self.cfg
         st = self.states[contig]
         enc = self._encode if rpr == 4 else self._encode_se
+        if self.chain_exec == "device-full" and rpr == 4:
+            return self._dispatch_full(recs, contig)
         if self.chain_exec in ("device", "device-chain", "auto"):
             # pad to the compiled batch shape so the last partial batch
             # reuses the warm executable
@@ -299,8 +314,96 @@ class DeviceMappingPipeline:
                     lens=lens, seqs=lf["seqs"][:n_rows],
                     rpr=lf.get("rpr", 4))
 
+    # ---- the fused device-full executor ------------------------------
+    def _full_statics(self):
+        cfg = self.cfg
+        from ..ops.align import ScoreMat
+        sm = ScoreMat()
+        B = self.batch
+        return dict(
+            k=cfg.kmer, cs_len=cfg.checksum_len, n_slots=cfg.max_seg_cnt,
+            seed_lim=cfg.seed_lim, cap=16, max_ed=cfg.max_ed,
+            max_sc=cfg.max_sc, band=cfg.band_width, max_tlen=cfg.max_tlen,
+            max_intron=cfg.max_intron, seg_pad=self.seg_pad,
+            scan_level=cfg.scan_level, KB=6, P_MAX=8, W_MAX=16,
+            OS_POOL=max(2048, B // 4), XD_POOL=max(4096, B // 2),
+            EX_ITERS=48, mat=sm.mat, mis=sm.mis, ind=sm.ind, xd=sm.xd)
+
+    def _dispatch_full(self, recs, contig: int):
+        from ..ops.device_full import device_full_step, MRF
+        from ..ops.filter_native import NativeFilter
+        from .types import MatchedRead
+        cfg = self.cfg
+        st = self.states[contig]
+        nf = self.filters[contig]
+        seqs, lens = self._encode(recs, pad_rows=4 * self.batch)
+        with T.phase("full_state"):
+            default_row = NativeFilter.mr_to_state(
+                MatchedRead.default(cfg.max_ed), nf.chr_names)
+            mr_in = np.tile(default_row, (self.batch, 1))
+            for i, (r1, _) in enumerate(recs):
+                if r1.mr.touched:
+                    mr_in[i] = NativeFilter.mr_to_state(r1.mr, nf.chr_names)
+            mr_in = np.ascontiguousarray(mr_in.astype(np.int32))
+        with T.phase("full_dispatch"):
+            fut = device_full_step(
+                jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(mr_in),
+                st.entry_hv, st.entry_checksum, st.entry_pos,
+                self.full_genome[contig], st.anno, self.full_anno[contig],
+                contig_num=contig, **self._full_statics())
+        import threading
+        holder = {}
+
+        def _bg_fetch():
+            holder["arr"] = np.asarray(fut)
+
+        th = threading.Thread(target=_bg_fetch, daemon=True)
+        th.start()
+        return dict(recs=recs, contig=contig, full_fut=fut,
+                    fetch_thread=th, fetch_holder=holder,
+                    seqs=seqs, lens=lens, full=True)
+
+    def _finish_full(self, cf) -> None:
+        from ..ops.filter_native import NativeFilter
+        recs = cf["recs"]
+        n = len(recs)
+        contig = cf["contig"]
+        nf = self.filters[contig]
+        with T.phase("full_fetch"):
+            cf["fetch_thread"].join()
+            blob = cf["fetch_holder"]["arr"]          # [B, MRF+1] int32
+        defer = blob[:n, -1] != 0
+        mr_state = blob[:n, :-1].astype(np.int64)
+        with T.phase("full_writeback"):
+            for i, (r1, _) in enumerate(recs):
+                if not defer[i]:
+                    NativeFilter.state_to_mr(mr_state[i], r1.mr,
+                                             nf.chr_names)
+        n_def = int(defer.sum())
+        self.full_stats["reads"] += n
+        self.full_stats["deferred"] += n_def
+        if n_def:
+            with T.phase("full_replay"):
+                idx = np.nonzero(defer)[0]
+                sub = [recs[i] for i in idx]
+                rows = np.array([4 * i + o for i in idx for o in range(4)],
+                                dtype=np.int64)
+                lf = dict(recs=sub, contig=contig,
+                          seqs=np.ascontiguousarray(cf["seqs"][rows]),
+                          lens=np.ascontiguousarray(cf["lens"][rows]),
+                          rpr=4)
+                with T.phase("host_lookup"):
+                    qpos, start, cnt, high = \
+                        self.states[contig].seeder.lookup(lf["seqs"],
+                                                          lf["lens"])
+                lf.update(qpos=qpos, start=start, cnt=cnt, high=high)
+                cf2 = self._chain_native(lf)
+                self._finish_native(cf2)
+
     # ---- stage 2: bucket by occupancy, dispatch chain DP ----
     def dispatch_chain(self, lf):
+        if lf.get("full"):
+            return lf
         if "dev_lookup" in lf:
             lf = self._fetch_lookup(lf)
         if self.chain_exec in ("native", "device", "auto"):
@@ -381,6 +484,8 @@ class DeviceMappingPipeline:
 
     # ---- stage 3: fetch chains, finish on host ----
     def finish(self, cf) -> None:
+        if cf.get("full"):
+            return self._finish_full(cf)
         if self.extend_exec == "device":
             return self._finish_wave(cf)
         if cf.get("native"):
@@ -938,6 +1043,17 @@ class DeviceMappingPipeline:
         if self.align_svc is not None:
             self.align_svc.warm()
         if self.chain_exec == "native":
+            return
+        if self.chain_exec == "device-full":
+            # compile the fused step + absorb the first d2h fetch
+            from .mapping import ReadRecord
+            from .types import MatchedRead
+            z = np.zeros(0, np.int8)
+            recs = [(ReadRecord("w", z, z, "", 0,
+                                MatchedRead.default(self.cfg.max_ed)),
+                     ReadRecord("w", z, z, "", 0, None))]
+            lf = self._dispatch_full(recs, 0)
+            lf["fetch_thread"].join()
             return
         cfg = self.cfg
         st = self.states[0]
