@@ -30,9 +30,12 @@ BASELINE_READS_PER_SEC = 10_000.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="small quick run")
+    ap.add_argument("--toy", action="store_true",
+                    help="the old 5 Mbp / 20K-pair toy configuration")
     ap.add_argument("--chr21", action="store_true",
                     help="chr21-scale run: 47 Mbp genome, ~780 genes, 5%% "
-                         "segmental duplications, 1M read pairs")
+                         "segmental duplications, 1M read pairs (the "
+                         "DEFAULT when no size flag is given)")
     ap.add_argument("--n-reads", type=int, default=None)
     ap.add_argument("--genome-len", type=int, default=None)
     ap.add_argument("--err-rate", type=float, default=0.005)
@@ -57,14 +60,19 @@ def main():
     import circminer_tpu
     circminer_tpu.enable_compilation_cache()
 
-    if args.chr21:
+    if args.smoke:
+        n_reads = args.n_reads or 500
+        genome_len = args.genome_len or 100_000
+        dup_frac = 0.0
+    elif args.toy:
+        n_reads = args.n_reads or 20_000
+        genome_len = args.genome_len or 5_000_000
+        dup_frac = 0.0
+    else:
+        # chr21 scale is the default bench (BASELINE.md config 1)
         n_reads = args.n_reads or 1_000_000
         genome_len = args.genome_len or 47_000_000
         dup_frac = 0.05
-    else:
-        n_reads = args.n_reads or (500 if args.smoke else 20_000)
-        genome_len = args.genome_len or (100_000 if args.smoke else 5_000_000)
-        dup_frac = 0.0
 
     from circminer_tpu.config import Config, CHIBSJ, CHI2BSJ, CONCRD
     from circminer_tpu.sim import make_genome, simulate_reads

@@ -44,21 +44,22 @@ def _load():
     if not _build():
         return None
     lib = ctypes.CDLL(_LIB)
-    i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
-    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    # raw-pointer mode (see chain_native.py): ndpointer validation cost
+    # dominates these microsecond-scale scalar calls
+    p = ctypes.c_void_p
     ci = ctypes.c_int
     for name, extra in (
         ("edit_local_right_sc", 0), ("edit_local_left_sc", 0),
         ("local_right", 0), ("local_left", 0),
     ):
         fn = getattr(lib, name)
-        fn.argtypes = [i8p, ci, i8p, ci, ci, ci, ci, i64p]
+        fn.argtypes = [p, ci, p, ci, ci, ci, ci, p]
         fn.restype = None
     for name in ("drop_local_right_sc", "drop_local_left_sc"):
         fn = getattr(lib, name)
-        fn.argtypes = [i8p, ci, i8p, ci, ci, ci, ci, ci, ci, ci, ci, i64p]
+        fn.argtypes = [p, ci, p, ci, ci, ci, ci, ci, ci, ci, ci, p]
         fn.restype = None
-    lib.one_side_banded.argtypes = [i8p, ci, i8p, ci, ci]
+    lib.one_side_banded.argtypes = [p, ci, p, ci, ci]
     lib.one_side_banded.restype = ctypes.c_int64
     _lib = lib
     return lib
@@ -83,41 +84,49 @@ class NativeAligner:
 
     def edit_local_alignment_right_sc(self, s, t, w, max_ed, max_sc):
         o = self._out
-        self.lib.edit_local_right_sc(_c(s), len(s), _c(t), len(t),
-                                     w, max_ed, max_sc, o)
+        sc, tc = _c(s), _c(t)
+        self.lib.edit_local_right_sc(sc.ctypes.data, len(s), tc.ctypes.data,
+                                     len(t), w, max_ed, max_sc, o.ctypes.data)
         return int(o[0]), int(o[1]), int(o[2]), int(o[3])
 
     def edit_local_alignment_left_sc(self, s, t, w, max_ed, max_sc):
         o = self._out
-        self.lib.edit_local_left_sc(_c(s), len(s), _c(t), len(t),
-                                    w, max_ed, max_sc, o)
+        sc, tc = _c(s), _c(t)
+        self.lib.edit_local_left_sc(sc.ctypes.data, len(s), tc.ctypes.data,
+                                    len(t), w, max_ed, max_sc, o.ctypes.data)
         return int(o[0]), int(o[1]), int(o[2]), int(o[3])
 
     def local_alignment_right(self, s, t, w, max_ed, max_sc):
         o = self._out
-        self.lib.local_right(_c(s), len(s), _c(t), len(t), w, max_ed,
-                             max_sc, o)
+        sc, tc = _c(s), _c(t)
+        self.lib.local_right(sc.ctypes.data, len(s), tc.ctypes.data, len(t),
+                             w, max_ed, max_sc, o.ctypes.data)
         return int(o[0]), int(o[1]), int(o[2])
 
     def local_alignment_left(self, s, t, w, max_ed, max_sc):
         o = self._out
-        self.lib.local_left(_c(s), len(s), _c(t), len(t), w, max_ed,
-                            max_sc, o)
+        sc, tc = _c(s), _c(t)
+        self.lib.local_left(sc.ctypes.data, len(s), tc.ctypes.data, len(t),
+                            w, max_ed, max_sc, o.ctypes.data)
         return int(o[0]), int(o[1]), int(o[2])
 
     def drop_local_alignment_right_sc(self, s, t, w, max_ed, max_sc, sm):
         o = self._out
-        self.lib.drop_local_right_sc(_c(s), len(s), _c(t), len(t), w,
-                                     max_ed, max_sc, sm.mat, sm.mis, sm.ind,
-                                     sm.xd, o)
+        sc, tc = _c(s), _c(t)
+        self.lib.drop_local_right_sc(sc.ctypes.data, len(s), tc.ctypes.data,
+                                     len(t), w, max_ed, max_sc, sm.mat,
+                                     sm.mis, sm.ind, sm.xd, o.ctypes.data)
         return int(o[0]), int(o[1]), int(o[2]), int(o[3])
 
     def drop_local_alignment_left_sc(self, s, t, w, max_ed, max_sc, sm):
         o = self._out
-        self.lib.drop_local_left_sc(_c(s), len(s), _c(t), len(t), w,
-                                    max_ed, max_sc, sm.mat, sm.mis, sm.ind,
-                                    sm.xd, o)
+        sc, tc = _c(s), _c(t)
+        self.lib.drop_local_left_sc(sc.ctypes.data, len(s), tc.ctypes.data,
+                                    len(t), w, max_ed, max_sc, sm.mat,
+                                    sm.mis, sm.ind, sm.xd, o.ctypes.data)
         return int(o[0]), int(o[1]), int(o[2]), int(o[3])
 
     def global_one_side_banded_alignment(self, s, t, w):
-        return int(self.lib.one_side_banded(_c(s), len(s), _c(t), len(t), w))
+        sc, tc = _c(s), _c(t)
+        return int(self.lib.one_side_banded(sc.ctypes.data, len(s),
+                                            tc.ctypes.data, len(t), w))

@@ -51,24 +51,25 @@ def _load():
     if not _build():
         return None
     lib = ctypes.CDLL(_LIB)
-    u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
-    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
-    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
-    f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    # raw-pointer mode: arrays are passed as .ctypes.data ints (the callers
+    # guarantee dtype + contiguity and keep references alive through the
+    # call) — ndpointer from_param validation costs ~15 us per argument,
+    # which dominated the circ stage's per-read chain calls
+    p = ctypes.c_void_p
     ci = ctypes.c_int32
     cl = ctypes.c_int64
     lib.batch_chain.argtypes = [
-        i32p, i32p, i32p, i32p, ci, ci, ci,
-        u8p, cl,
-        i32p, i32p, i32p, i32p, i32p, i64p, i32p, i32p, ci,
+        p, p, p, p, ci, ci, ci,
+        p, cl,
+        p, p, p, p, p, p, p, p, ci,
         ci, ci, cl, ci, cl,
-        i32p, i32p, i32p, f64p, i32p, ci,
+        p, p, p, p, p, ci,
     ]
     lib.batch_chain.restype = None
     lib.batch_extract_kbest.argtypes = [
-        i32p, i32p, i32p, i32p, i32p,
+        p, p, p, p, p,
         ci, ci, ci, ci, ci, cl,
-        i32p, i32p, i32p, f64p, i32p, ci,
+        p, p, p, p, p, ci,
     ]
     lib.batch_extract_kbest.restype = None
     _lib = lib
@@ -136,18 +137,24 @@ class NativeChainer:
         out_n = np.zeros(R, dtype=np.int32)
         if n_threads is None:
             n_threads = cfg.resolved_threads
+        a_pos = np.ascontiguousarray(pos, dtype=np.int32)
+        a_cnt = np.ascontiguousarray(np.minimum(cnt, cap), dtype=np.int32)
+        a_qpos = np.ascontiguousarray(qpos, dtype=np.int32)
+        a_lens = np.ascontiguousarray(lens, dtype=np.int32)
         self.lib.batch_chain(
-            np.ascontiguousarray(pos, dtype=np.int32),
-            np.ascontiguousarray(np.minimum(cnt, cap), dtype=np.int32),
-            np.ascontiguousarray(qpos, dtype=np.int32),
-            np.ascontiguousarray(lens, dtype=np.int32),
+            a_pos.ctypes.data, a_cnt.ctypes.data, a_qpos.ctypes.data,
+            a_lens.ctypes.data,
             R, NL, cap,
-            self.nb, int(self.nb.shape[0]) * 8,
-            self.iv_spos, self.iv_epos, self.iv_max_end, self.iv_min_end,
-            self.iv_max_next, self.iv_seg_off, self.seg_end, self.seg_next,
+            self.nb.ctypes.data, int(self.nb.shape[0]) * 8,
+            self.iv_spos.ctypes.data, self.iv_epos.ctypes.data,
+            self.iv_max_end.ctypes.data, self.iv_min_end.ctypes.data,
+            self.iv_max_next.ctypes.data, self.iv_seg_off.ctypes.data,
+            self.seg_end.ctypes.data, self.seg_next.ctypes.data,
             self.n_iv,
             k, cfg.max_ed, cfg.max_intron, C, shift,
-            out_rpos, out_qpos, out_clen, out_score, out_n, n_threads)
+            out_rpos.ctypes.data, out_qpos.ctypes.data,
+            out_clen.ctypes.data, out_score.ctypes.data, out_n.ctypes.data,
+            n_threads)
         return out_rpos, out_qpos, out_clen, out_score, out_n
 
     @staticmethod
@@ -172,14 +179,18 @@ class NativeChainer:
         out_n = np.zeros(R, dtype=np.int32)
         if n_threads is None:
             n_threads = max(1, os.cpu_count() or 1)
+        a = [np.ascontiguousarray(dp10, dtype=np.int32),
+             np.ascontiguousarray(back, dtype=np.int32),
+             np.ascontiguousarray(pos, dtype=np.int32),
+             np.ascontiguousarray(qpos, dtype=np.int32),
+             np.ascontiguousarray(cnt, dtype=np.int32)]
         lib.batch_extract_kbest(
-            np.ascontiguousarray(dp10, dtype=np.int32),
-            np.ascontiguousarray(back, dtype=np.int32),
-            np.ascontiguousarray(pos, dtype=np.int32),
-            np.ascontiguousarray(qpos, dtype=np.int32),
-            np.ascontiguousarray(cnt, dtype=np.int32),
+            a[0].ctypes.data, a[1].ctypes.data, a[2].ctypes.data,
+            a[3].ctypes.data, a[4].ctypes.data,
             R, NL, S, k, C, shift,
-            out_rpos, out_qpos, out_clen, out_score, out_n, n_threads)
+            out_rpos.ctypes.data, out_qpos.ctypes.data,
+            out_clen.ctypes.data, out_score.ctypes.data,
+            out_n.ctypes.data, n_threads)
         return out_rpos, out_qpos, out_clen, out_score, out_n
 
     @staticmethod

@@ -53,33 +53,29 @@ def _load():
     if not _build():
         return None
     lib = ctypes.CDLL(_LIB)
-    i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
-    u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
-    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
-    u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
-    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
-    f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    # raw-pointer mode (see chain_native.py): arrays pass as .ctypes.data
+    p = ctypes.c_void_p
     ci = ctypes.c_int32
     cl = ctypes.c_int64
     anno_sig = [
-        u32p, u32p, ci, i64p,
-        u32p, u32p, u32p, i32p, i32p,
-        i64p, i32p,
-        i64p, u8p, i32p, ci,
-        u32p, u32p,
-        u8p, cl,
-        i64p, ci,
+        p, p, ci, p,
+        p, p, p, p, p,
+        p, p,
+        p, p, p, ci,
+        p, p,
+        p, cl,
+        p, ci,
     ]
     cfg_sig = [ci] * 12
     lib.batch_filter_pe.argtypes = (
-        [i8p, i32p, ci, ci,
-         i32p, i32p, i32p, f64p, i32p, i32p, ci, ci,
-         i8p, cl] + anno_sig + cfg_sig + [i64p, ci])
+        [p, p, ci, ci,
+         p, p, p, p, p, p, ci, ci,
+         p, cl] + anno_sig + cfg_sig + [p, ci])
     lib.batch_filter_pe.restype = None
     lib.batch_filter_se.argtypes = (
-        [i8p, i32p, ci, ci,
-         i32p, i32p, i32p, f64p, i32p, ci, ci,
-         i8p, cl] + anno_sig + cfg_sig + [i64p, i32p, ci])
+        [p, p, ci, ci,
+         p, p, p, p, p, ci, ci,
+         p, cl] + anno_sig + cfg_sig + [p, p, ci])
     lib.batch_filter_se.restype = None
     _lib = lib
     return lib
@@ -140,13 +136,17 @@ class NativeFilter:
         self.align_type = align_type
 
     def _anno_args(self):
-        return [self.iv_spos, self.iv_epos, self.n_iv, self.iv_seg_off,
-                self.seg_start, self.seg_end, self.seg_next, self.seg_gene,
-                self.seg_uid, self.uid_tid_off, self.uid_tid,
-                self.t2s_off, self.t2s_state, self.trans_start, self.n_trans,
-                self.gene_start, self.gene_end,
-                self.intr_bits, self.intr_len,
-                self.shift_vals, int(self.shift_vals.shape[0])]
+        d = lambda a: a.ctypes.data
+        return [d(self.iv_spos), d(self.iv_epos), self.n_iv,
+                d(self.iv_seg_off),
+                d(self.seg_start), d(self.seg_end), d(self.seg_next),
+                d(self.seg_gene), d(self.seg_uid),
+                d(self.uid_tid_off), d(self.uid_tid),
+                d(self.t2s_off), d(self.t2s_state), d(self.trans_start),
+                self.n_trans,
+                d(self.gene_start), d(self.gene_end),
+                d(self.intr_bits), self.intr_len,
+                d(self.shift_vals), int(self.shift_vals.shape[0])]
 
     def _cfg_args(self):
         c = self.cfg
@@ -203,14 +203,17 @@ class NativeFilter:
         NL = ch_rpos.shape[2]
         if n_threads is None:
             n_threads = self.cfg.resolved_threads
+        a = [np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens),
+             _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),
+             np.ascontiguousarray(ch_score, dtype=np.float64),
+             _i32(ch_n), _i32(high)]
         self.lib.batch_filter_pe(
-            np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens), n, L,
-            _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),
-            np.ascontiguousarray(ch_score, dtype=np.float64),
-            _i32(ch_n), _i32(high), C, NL,
-            self.genome, int(self.genome.shape[0]),
+            a[0].ctypes.data, a[1].ctypes.data, n, L,
+            a[2].ctypes.data, a[3].ctypes.data, a[4].ctypes.data,
+            a[5].ctypes.data, a[6].ctypes.data, a[7].ctypes.data, C, NL,
+            self.genome.ctypes.data, int(self.genome.shape[0]),
             *self._anno_args(), *self._cfg_args(),
-            mr_state, n_threads)
+            mr_state.ctypes.data, n_threads)
 
     def filter_se(self, seqs: np.ndarray, lens: np.ndarray,
                   ch_rpos: np.ndarray, ch_qpos: np.ndarray,
@@ -225,12 +228,14 @@ class NativeFilter:
         out = np.zeros(n, dtype=np.int32)
         if n_threads is None:
             n_threads = self.cfg.resolved_threads
+        a = [np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens),
+             _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),
+             np.ascontiguousarray(ch_score, dtype=np.float64), _i32(ch_n)]
         self.lib.batch_filter_se(
-            np.ascontiguousarray(seqs, dtype=np.int8), _i32(lens), n, L,
-            _i32(ch_rpos), _i32(ch_qpos), _i32(ch_clen),
-            np.ascontiguousarray(ch_score, dtype=np.float64),
-            _i32(ch_n), C, NL,
-            self.genome, int(self.genome.shape[0]),
+            a[0].ctypes.data, a[1].ctypes.data, n, L,
+            a[2].ctypes.data, a[3].ctypes.data, a[4].ctypes.data,
+            a[5].ctypes.data, a[6].ctypes.data, C, NL,
+            self.genome.ctypes.data, int(self.genome.shape[0]),
             *self._anno_args(), *self._cfg_args(),
-            mr_state, out, n_threads)
+            mr_state.ctypes.data, out.ctypes.data, n_threads)
         return out

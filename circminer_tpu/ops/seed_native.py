@@ -48,16 +48,15 @@ def _load():
     if not _build():
         return None
     lib = ctypes.CDLL(_LIB)
-    i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
-    i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
-    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+    # raw-pointer mode (see chain_native.py)
+    p = ctypes.c_void_p
     ci = ctypes.c_int32
-    lib.batch_lookup.argtypes = [i8p, i32p, ci, ci, i32p, i16p,
+    lib.batch_lookup.argtypes = [p, p, ci, ci, p, p,
                                  ctypes.c_int64,
                                  ci, ci, ci, ci,
-                                 i32p, i32p, i32p, i32p, ci]
+                                 p, p, p, p, ci]
     lib.batch_lookup.restype = None
-    lib.batch_gather.argtypes = [i32p, i32p, i32p, ci, ci, ci, i32p, ci]
+    lib.batch_gather.argtypes = [p, p, p, ci, ci, ci, p, ci]
     lib.batch_gather.restype = None
     _lib = lib
     return lib
@@ -91,22 +90,25 @@ class NativeSeeder:
         start = np.empty((B, NL), dtype=np.int32)
         cnt = np.empty((B, NL), dtype=np.int32)
         high = np.empty(B, dtype=np.int32)
+        a_reads = np.ascontiguousarray(reads, dtype=np.int8)
+        a_lens = np.ascontiguousarray(lens, dtype=np.int32)
         self.lib.batch_lookup(
-            np.ascontiguousarray(reads, dtype=np.int8),
-            np.ascontiguousarray(lens, dtype=np.int32),
-            B, L, self.entry_hv, self.entry_checksum,
+            a_reads.ctypes.data, a_lens.ctypes.data,
+            B, L, self.entry_hv.ctypes.data, self.entry_checksum.ctypes.data,
             self.entry_hv.shape[0],
             cfg.kmer, cfg.checksum_len, NL, cfg.seed_lim,
-            qpos, start, cnt, high, cfg.resolved_threads)
+            qpos.ctypes.data, start.ctypes.data, cnt.ctypes.data,
+            high.ctypes.data, cfg.resolved_threads)
         return qpos, start, cnt, high
 
     def gather(self, start: np.ndarray, cnt: np.ndarray, cap: int):
         """start/cnt int32 [R, NL] -> positions int32 [R, NL, cap]."""
         R, NL = start.shape
         pos = np.empty((R, NL, cap), dtype=np.int32)
+        a_start = np.ascontiguousarray(start, dtype=np.int32)
+        a_cnt = np.ascontiguousarray(cnt, dtype=np.int32)
         self.lib.batch_gather(
-            self.entry_pos,
-            np.ascontiguousarray(start, dtype=np.int32),
-            np.ascontiguousarray(cnt, dtype=np.int32),
-            R, NL, cap, pos, self.cfg.resolved_threads)
+            self.entry_pos.ctypes.data, a_start.ctypes.data,
+            a_cnt.ctypes.data,
+            R, NL, cap, pos.ctypes.data, self.cfg.resolved_threads)
         return pos
