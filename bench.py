@@ -181,6 +181,10 @@ def main():
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
         "executor": pipe.chain_exec,
         "backend": backend,
+        "n_pairs": n,
+        "genome_len": genome_len,
+        "events": n_events,
+        "true_events": len(truth),
         "phases": {"setup_s": round(setup_s, 2), "warm_s": round(warm_s, 2),
                    "map_s": round(map_s, 2), "circ_s": round(circ_s, 2)},
     }))

@@ -660,21 +660,28 @@ class DeviceMappingPipeline:
         if ulog.TRACE_LEVEL >= 1:
             nf = None  # python finish carries the per-read vaf traces
         if nf is not None:
-            # fully native finish: extension + pairing + categories in C++
+            # fully native finish: extension + pairing + categories in C++.
+            # The dense chain tensors are sliced to the batch's actual max
+            # chain count (typically <= 3 of the 30 allocated) — copying
+            # the full [R, 30, NL] tensors was the top mapping phase on
+            # low-memory-bandwidth hosts.
             R = 4 * n
-            C = cfg.max_chain_len
             NL = self.n_lists
             with T.phase("filter_assemble"):
-                rp_f = np.zeros((R, C, NL), np.int32)
-                qp_f = np.zeros((R, C, NL), np.int32)
-                cl_f = np.zeros((R, C), np.int32)
-                sc_f = np.zeros((R, C), np.float64)
+                cmax = 1
+                for _, _, _, _, _, cn in cf["parts"]:
+                    if len(cn):
+                        cmax = max(cmax, int(cn.max()))
+                rp_f = np.zeros((R, cmax, NL), np.int32)
+                qp_f = np.zeros((R, cmax, NL), np.int32)
+                cl_f = np.zeros((R, cmax), np.int32)
+                sc_f = np.zeros((R, cmax), np.float64)
                 cn_f = np.zeros(R, np.int32)
                 for rows, rp, qp, cl, sc, cn in cf["parts"]:
-                    rp_f[rows] = rp
-                    qp_f[rows] = qp
-                    cl_f[rows] = cl
-                    sc_f[rows] = sc
+                    rp_f[rows] = rp[:, :cmax]
+                    qp_f[rows] = qp[:, :cmax]
+                    cl_f[rows] = cl[:, :cmax]
+                    sc_f[rows] = sc[:, :cmax]
                     cn_f[rows] = cn
             self._filter_batch(recs, cf["seqs"], cf["lens"], rp_f, qp_f,
                                cl_f, sc_f, cn_f, hh_h, cf["contig"])
