@@ -170,24 +170,19 @@ class NativeFilter:
 
     @staticmethod
     def state_to_mr(st: np.ndarray, mr, chr_names: List[str]):
-        """int64[MR_FIELDS] row -> MatchedRead fields in place."""
+        """int64[MR_FIELDS] row -> MatchedRead fields in place.  One
+        tolist() replaces 20 numpy scalar reads (this runs per read per
+        batch in every batched finish path)."""
+        (mr.type, mr.spos_r1, mr.epos_r1, mr.qspos_r1, mr.qepos_r1,
+         mr.mlen_r1, mr.ed_r1, r1f, mr.spos_r2, mr.epos_r2, mr.qspos_r2,
+         mr.qepos_r2, mr.mlen_r2, mr.ed_r2, r2f, mr.tlen, mr.junc_num,
+         gm, ci, mr.contig_num) = st.tolist()
         mr.touched = True
-        mr.type = int(st[0])
-        mr.spos_r1, mr.epos_r1 = int(st[1]), int(st[2])
-        mr.qspos_r1, mr.qepos_r1 = int(st[3]), int(st[4])
-        mr.mlen_r1, mr.ed_r1 = int(st[5]), int(st[6])
-        mr.r1_forward = bool(st[7])
-        mr.spos_r2, mr.epos_r2 = int(st[8]), int(st[9])
-        mr.qspos_r2, mr.qepos_r2 = int(st[10]), int(st[11])
-        mr.mlen_r2, mr.ed_r2 = int(st[12]), int(st[13])
-        mr.r2_forward = bool(st[14])
-        mr.tlen = int(st[15])
-        mr.junc_num = int(st[16])
-        mr.gm_compatible = bool(st[17])
-        ci = int(st[18])
+        mr.r1_forward = bool(r1f)
+        mr.r2_forward = bool(r2f)
+        mr.gm_compatible = bool(gm)
         if 0 <= ci < len(chr_names):
             mr.chr_r1 = mr.chr_r2 = chr_names[ci]
-        mr.contig_num = int(st[19])
 
     def filter_pe(self, seqs: np.ndarray, lens: np.ndarray,
                   ch_rpos: np.ndarray, ch_qpos: np.ndarray,
