@@ -122,19 +122,37 @@ class NativeChainer:
 
     def chain_batch(self, pos: np.ndarray, cnt: np.ndarray,
                     qpos: np.ndarray, lens: np.ndarray,
-                    k: int = None, shift: int = 0, n_threads: int = None):
+                    k: int = None, shift: int = 0, n_threads: int = None,
+                    reuse_buffers: bool = False):
         """pos int32 [R, NL, cap]; cnt/qpos int32 [R, NL]; lens int32 [R].
         Returns (rpos [R,C,NL], qp [R,C,NL], clen [R,C], score [R,C],
-        n [R]) with C = cfg.max_chain_len."""
+        n [R]) with C = cfg.max_chain_len.
+
+        reuse_buffers=True returns instance-owned output buffers (valid
+        until the next call) — for sequential per-read callers (the circ
+        stage) where the allocation cost dominates the tiny DP."""
         cfg = self.cfg
         k = k if k is not None else cfg.kmer
         R, NL, cap = pos.shape
         C = cfg.max_chain_len
-        out_rpos = np.zeros((R, C, NL), dtype=np.int32)
-        out_qpos = np.zeros((R, C, NL), dtype=np.int32)
-        out_clen = np.zeros((R, C), dtype=np.int32)
-        out_score = np.zeros((R, C), dtype=np.float64)
-        out_n = np.zeros(R, dtype=np.int32)
+        if reuse_buffers:
+            key = (R, C, NL)
+            bufs = getattr(self, "_obuf", None)
+            if bufs is None or bufs[0] != key:
+                bufs = (key,
+                        np.zeros((R, C, NL), dtype=np.int32),
+                        np.zeros((R, C, NL), dtype=np.int32),
+                        np.zeros((R, C), dtype=np.int32),
+                        np.zeros((R, C), dtype=np.float64),
+                        np.zeros(R, dtype=np.int32))
+                self._obuf = bufs
+            _, out_rpos, out_qpos, out_clen, out_score, out_n = bufs
+        else:
+            out_rpos = np.zeros((R, C, NL), dtype=np.int32)
+            out_qpos = np.zeros((R, C, NL), dtype=np.int32)
+            out_clen = np.zeros((R, C), dtype=np.int32)
+            out_score = np.zeros((R, C), dtype=np.float64)
+            out_n = np.zeros(R, dtype=np.int32)
         if n_threads is None:
             n_threads = cfg.resolved_threads
         a_pos = np.ascontiguousarray(pos, dtype=np.int32)

@@ -193,7 +193,8 @@ class ProcessCirc:
             pos_b, cnt_b = ht.find_batch(hv_arr[ok], self.cfg.seed_lim)
             rp, qp, cl, sc, n = self.nchainer.chain_batch(
                 pos_b[None], cnt_b[None], qpos_arr[None],
-                np.array([qepos], np.int32), k=w, shift=shift, n_threads=1)
+                np.array([qepos], np.int32), k=w, shift=shift, n_threads=1,
+                reuse_buffers=True)
             from ..ops.chain_native import NativeChainer
             chains = NativeChainer.to_chains(rp[0], qp[0], cl[0], sc[0],
                                              n[0], w)
