@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--err-rate", type=float, default=0.005)
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--profile-circ", default=None, metavar="PATH",
+                    help="cProfile the circRNA stage and dump stats there")
+    ap.add_argument("--dump-events", default=None, metavar="PATH",
+                    help="write called + true event coordinates (JSON) for "
+                         "offline FP/FN analysis")
     ap.add_argument("--exec", dest="chain_exec", default="auto",
                     choices=["auto", "device", "device-chain", "native",
                              "wave", "device-full"],
@@ -89,26 +94,44 @@ def main():
     rng = np.random.default_rng(20260817)
     n_genes = max(3, genome_len // 60_000)
     t0 = time.time()
-    g = make_genome(rng, length=genome_len, n_genes=n_genes,
-                    dup_frac=dup_frac)
     # threads=0 -> every core (the reference's `-t <big>` clamp semantics)
     cfg = Config(kmer=20, max_read_len=120, threads=0)
 
-    import tempfile
-    with tempfile.TemporaryDirectory() as tmp:
-        ref = os.path.join(tmp, "ref.fa")
-        gtf = os.path.join(tmp, "ref.gtf")
-        g.write_fasta(ref)
-        g.write_gtf(gtf)
-        gp = GenomePacker(ref)
-        contigs, info = gp.pack_genome()
-        gi = build_genome_index(contigs, cfg)
-        db = AnnotationDB.from_gtf(gtf, info, len(contigs), cfg,
-                                   contig_lengths=[len(c) for c in contigs])
+    import pickle
+    cache_dir = os.path.expanduser("~/.cache/circminer_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(
+        cache_dir,
+        f"benchsetup_g{genome_len}_n{n_genes}_d{dup_frac}_k{cfg.kmer}.pkl")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            g, gi, db = pickle.load(f)
+    else:
+        g = make_genome(rng, length=genome_len, n_genes=n_genes,
+                        dup_frac=dup_frac)
+        import tempfile
+        with tempfile.TemporaryDirectory() as tmp:
+            ref = os.path.join(tmp, "ref.fa")
+            gtf = os.path.join(tmp, "ref.gtf")
+            g.write_fasta(ref)
+            g.write_gtf(gtf)
+            gp = GenomePacker(ref)
+            contigs, info = gp.pack_genome()
+            gi = build_genome_index(contigs, cfg)
+            db = AnnotationDB.from_gtf(gtf, info, len(contigs), cfg,
+                                       contig_lengths=[len(c) for c in contigs])
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump((g, gi, db), f, protocol=4)
+        except Exception:
+            pass
     setup_s = time.time() - t0
 
     n_circ = n_reads // 5
-    reads, truth = simulate_reads(rng, g, n_reads - n_circ, n_circ,
+    # reads use their own rng stream so the cached-setup path is
+    # deterministic regardless of how much of `rng` make_genome consumed
+    rng_reads = np.random.default_rng(20260818)
+    reads, truth = simulate_reads(rng_reads, g, n_reads - n_circ, n_circ,
                                   read_len=100, err_rate=args.err_rate)
 
     def make_pair(r):
@@ -140,7 +163,15 @@ def main():
         r1.mr.genome_spos = r1.mr.spos_r1
     bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
     pc = ProcessCirc(db, gi, cfg, os.path.join("/tmp", "bench_out"))
-    pc.run(bsj)
+    if args.profile_circ:
+        import cProfile
+        prof = cProfile.Profile()
+        prof.enable()
+        pc.run(bsj)
+        prof.disable()
+        prof.dump_stats(args.profile_circ)
+    else:
+        pc.run(bsj)
     circ_s = time.time() - t0
 
     total_s = map_s + circ_s
@@ -148,7 +179,17 @@ def main():
 
     n_conc = sum(1 for r1, _ in pairs if r1.mr.type == CONCRD)
     n_bsj_reads = len(bsj)
-    n_events = len({(c.spos, c.epos) for c in pc.circ_res})
+    called = sorted({(c.spos, c.epos) for c in pc.circ_res})
+    n_events = len(called)
+    truth_set = set(truth)
+    n_matched = sum(1 for e in called if e in truth_set)
+    if args.dump_events:
+        with open(args.dump_events, "w") as f:
+            json.dump({"called": [list(e) for e in called],
+                       "truth": [list(e) for e in truth],
+                       "support": {f"{c.spos},{c.epos}":
+                                   getattr(c, "nreads", 1)
+                                   for c in pc.circ_res}}, f)
     backend = jax.devices()[0].platform
 
     if pipe.full_stats["reads"]:
@@ -162,7 +203,7 @@ def main():
         f"genome={genome_len} "
         f"setup={setup_s:.1f}s warm={warm_s:.1f}s map={map_s:.1f}s circ={circ_s:.1f}s "
         f"CONCRD={n_conc} BSJ={n_bsj_reads} events={n_events} "
-        f"(true events={len(truth)})\n")
+        f"(true events={len(truth)}, matched={n_matched})\n")
     from circminer_tpu.utils.timing import GLOBAL_TIMER
     sys.stderr.write(GLOBAL_TIMER.report() + "\n")
     if pipe.wave_stats["batches"]:
@@ -185,6 +226,7 @@ def main():
         "genome_len": genome_len,
         "events": n_events,
         "true_events": len(truth),
+        "events_matched": n_matched,
         "phases": {"setup_s": round(setup_s, 2), "warm_s": round(warm_s, 2),
                    "map_s": round(map_s, 2), "circ_s": round(circ_s, 2)},
     }))

@@ -41,11 +41,19 @@ extern "C" {
 // (stride k) per read; per k-mer the window hash picks a bucket and the
 // checksum range is bisected.  Outputs are compact [B, NL] (no odd slots).
 // high[b] counts non-overlapping k-mers whose occupancy exceeded seed_lim.
+//
+// prefix_starts (optional, else null): int64[4^p + 1] entry offsets of each
+// 2p-bit hv prefix (prefix_shift = 2*(w - p)).  It narrows the composite
+// bisect from the full table (~26 random cache misses at chr21 scale) to a
+// handful of entries sharing the prefix — the cheap, size-proportional
+// replacement for the reference's dense 1 GiB bucket table
+// (HashTable.c:769-839).
 void batch_lookup(const int8_t* reads, const int32_t* lens,
                   int32_t B, int32_t L,
                   const int32_t* entry_hv,
                   const int16_t* entry_checksum,
                   int64_t n_entries,
+                  const int64_t* prefix_starts, int32_t prefix_shift,
                   int32_t k, int32_t cs_len, int32_t NL, int32_t seed_lim,
                   int32_t* qpos, int32_t* start, int32_t* cnt, int32_t* high,
                   int32_t n_threads) {
@@ -79,11 +87,17 @@ void batch_lookup(const int8_t* reads, const int32_t* lens,
                     cv = (cv << 2) | base;
                 }
                 if (!ok) continue;
+                int64_t blo = 0, bhi = n_entries;
+                if (prefix_starts != nullptr) {
+                    const int64_t pfx = hv >> prefix_shift;
+                    blo = prefix_starts[pfx];
+                    bhi = prefix_starts[pfx + 1];
+                }
                 const int64_t l = bisect2(entry_hv, entry_checksum,
-                                          0, n_entries,
+                                          blo, bhi,
                                           (int32_t)hv, cv, false);
                 const int64_t r = bisect2(entry_hv, entry_checksum,
-                                          l, n_entries,
+                                          l, bhi,
                                           (int32_t)hv, cv, true);
                 int64_t n = r - l;
                 if (n > seed_lim) { ++hh; n = 0; }

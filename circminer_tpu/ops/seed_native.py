@@ -53,6 +53,7 @@ def _load():
     ci = ctypes.c_int32
     lib.batch_lookup.argtypes = [p, p, ci, ci, p, p,
                                  ctypes.c_int64,
+                                 p, ci,
                                  ci, ci, ci, ci,
                                  p, p, p, p, ci]
     lib.batch_lookup.restype = None
@@ -79,6 +80,23 @@ class NativeSeeder:
         self.entry_checksum = np.ascontiguousarray(ci.entry_checksum,
                                                    dtype=np.int16)
         self.entry_pos = np.ascontiguousarray(ci.entry_pos, dtype=np.int32)
+        # 2p-bit hv-prefix radix table: sized so buckets average ~1 entry
+        # (p = ceil(log4 n), capped at 12 -> <=134 MB), built once per
+        # contig with a bincount+cumsum and cached on the ContigIndex.
+        w = cfg.window_size
+        n = max(2, ci.n_entries)
+        p = min(w, 12, max(1, (int(np.ceil(np.log2(n))) + 1) // 2))
+        cached = getattr(ci, "_prefix_cache", None)
+        if cached is not None and cached[0] == p:
+            starts = cached[1]
+        else:
+            pfx = (self.entry_hv >> np.int32(2 * (w - p))).astype(np.int64)
+            counts = np.bincount(pfx, minlength=1 << (2 * p))
+            starts = np.zeros((1 << (2 * p)) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            ci._prefix_cache = (p, starts)
+        self.prefix_starts = starts
+        self.prefix_shift = 2 * (w - p)
 
     def lookup(self, reads: np.ndarray, lens: np.ndarray):
         """reads [B, L] int8, lens [B] int32 ->
@@ -96,6 +114,7 @@ class NativeSeeder:
             a_reads.ctypes.data, a_lens.ctypes.data,
             B, L, self.entry_hv.ctypes.data, self.entry_checksum.ctypes.data,
             self.entry_hv.shape[0],
+            self.prefix_starts.ctypes.data, self.prefix_shift,
             cfg.kmer, cfg.checksum_len, NL, cfg.seed_lim,
             qpos.ctypes.data, start.ctypes.data, cnt.ctypes.data,
             high.ctypes.data, cfg.resolved_threads)
