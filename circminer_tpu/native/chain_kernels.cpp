@@ -25,7 +25,7 @@ constexpr double PENALTY_COEF = 0.1;  // chain.cpp:11
 constexpr int64_t INF64 = 1000000000;
 constexpr uint32_t MAXUB32 = 4294967295u;
 
-struct Anno {
+struct ChainAnno {
     const uint8_t* nb;        // packed near_border bits
     int64_t nb_len;           // genome length in bases covered by nb
     const int32_t* iv_spos;
@@ -134,7 +134,9 @@ struct Anno {
 
 }  // namespace
 
+#ifndef CHAIN_KERNELS_INLINE
 extern "C" {
+#endif
 
 // Batched k-best chain DP.  pos [R, NL, cap] ascending per list (0-pad),
 // cnt/qpos [R, NL], lens [R].  Outputs, per row: up to max_chain chains of
@@ -155,7 +157,7 @@ void batch_chain(const int32_t* pos, const int32_t* cnt, const int32_t* qpos,
                  int32_t* out_rpos, int32_t* out_qpos, int32_t* out_clen,
                  double* out_score, int32_t* out_n,
                  int32_t n_threads) {
-    Anno anno{nb, nb_len, iv_spos, iv_epos, iv_max_end, iv_min_end,
+    ChainAnno anno{nb, nb_len, iv_spos, iv_epos, iv_max_end, iv_min_end,
               iv_max_next, iv_seg_off, seg_end, seg_next, n_iv};
 
     auto worker = [&](int32_t r0, int32_t r1) {
@@ -430,4 +432,6 @@ void batch_extract_kbest(const int32_t* dp10, const int32_t* back,
     for (auto& t : ts) t.join();
 }
 
+#ifndef CHAIN_KERNELS_INLINE
 }  // extern "C"
+#endif

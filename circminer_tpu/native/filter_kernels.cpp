@@ -21,6 +21,11 @@
 
 #include "align_kernels.cpp"  // banded DP / x-drop primitives (same .so)
 
+// gene-local re-chaining for the circ stage (same .so; batch_chain becomes
+// a plain function in this TU instead of an extern "C" export)
+#define CHAIN_KERNELS_INLINE
+#include "chain_kernels.cpp"
+
 namespace {
 
 // category lattice (config.py:34-47, common.h:56-72)
@@ -213,6 +218,9 @@ bool is_left_chain(const ChainV& a, const ChainV& b, int read_length) {
 }
 
 // ---- data model (pipeline/types.py; common.h:260-352) ----------------------
+// types.py JuncInfo (used by the circ stage's junction rescue)
+struct JuncI { int64_t beg, end; int bp_matched; };
+
 struct MM {
     int64_t spos = 0, epos = 0;
     int qspos = 0, qepos = 0;
@@ -223,6 +231,7 @@ struct MM {
     bool looked_spos = false, looked_epos = false;
     int32_t exon_ind_spos = -1, exon_ind_epos = -1;
     int32_t exons_spos = -1, exons_epos = -1;  // -1 == None
+    std::vector<JuncI> junc_info;              // filled by get_junctions_c
 
     static MM dflt(int max_ed) {
         MM m;
@@ -1782,3 +1791,6 @@ void batch_filter_se(
 }
 
 }  // extern "C"
+
+// circRNA-calling stage (same .so; reuses everything above)
+#include "circ_kernels.cpp"

@@ -24,6 +24,8 @@ from ..config import Config, INF, NOPROC_NOMATCH
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "..", "native", "filter_kernels.cpp")
 _ALIGN_SRC = os.path.join(_HERE, "..", "native", "align_kernels.cpp")
+_CHAIN_SRC = os.path.join(_HERE, "..", "native", "chain_kernels.cpp")
+_CIRC_SRC = os.path.join(_HERE, "..", "native", "circ_kernels.cpp")
 _LIB = os.path.join(_HERE, "..", "native", "libfilter.so")
 
 MR_FIELDS = 20  # layout documented in filter_kernels.cpp batch_filter_pe
@@ -33,7 +35,8 @@ _lib = None
 
 def _build() -> bool:
     try:
-        src_m = max(os.path.getmtime(_SRC), os.path.getmtime(_ALIGN_SRC))
+        src_m = max(os.path.getmtime(_SRC), os.path.getmtime(_ALIGN_SRC),
+                    os.path.getmtime(_CHAIN_SRC), os.path.getmtime(_CIRC_SRC))
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_m:
             return True
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",

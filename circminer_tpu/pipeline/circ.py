@@ -902,12 +902,93 @@ class ProcessCirc:
                 f"{mm_r2.matched_len}\t{mm_r2.dir}\t{typ}")
 
     # --- stream + report (process_circ.cpp:195-331, 1570-1631) ---
-    def run(self, pairs) -> None:
-        """pairs: iterable of (rec1, rec2) already sorted by genome_spos."""
+    def run(self, pairs, native: Optional[bool] = None) -> None:
+        """pairs: iterable of (rec1, rec2) already sorted by genome_spos.
+
+        native=None (default) routes through the batched C++ stage-2
+        engine (ops/circ_native.py) when available and per-read tracing is
+        off; native=False forces the per-read Python oracle."""
+        if native is None:
+            native = ulog.TRACE_LEVEL == 0
+        if native:
+            try:
+                self._run_native(list(pairs))
+                return
+            except Exception as e:  # pragma: no cover - fallback only
+                import sys
+                sys.stderr.write(f"[circ] native stage-2 unavailable "
+                                 f"({e}); using python path\n")
         for rec1, rec2 in pairs:
             if rec1.mr.contig_num != self.contig:
                 self.load_contig(rec1.mr.contig_num)
             self.call_circ(rec1, rec2)
+
+    def _run_native(self, pairs: List) -> None:
+        """Batched native stage 2: one C++ call per contig run of the
+        sorted stream; Python only formats report/candidate lines."""
+        from ..ops.circ_native import NativeCirc, sig_str
+        from ..ops.filter_native import NativeFilter
+        i = 0
+        n_all = len(pairs)
+        while i < n_all:
+            contig = pairs[i][0].mr.contig_num
+            j = i
+            while j < n_all and pairs[j][0].mr.contig_num == contig:
+                j += 1
+            chunk = pairs[i:j]
+            i = j
+            nc = NativeCirc(self.db, contig, self.gi.contigs[contig].codes,
+                            self.cfg)
+            n = len(chunk)
+            L = max(max(r1.seq_len, r2.seq_len) for r1, r2 in chunk)
+            seqs = np.zeros((4 * n, L), dtype=np.int8)
+            lens = np.zeros(4 * n, dtype=np.int32)
+            mr_state = np.zeros((n, 20), dtype=np.int64)
+            evict = np.zeros(n, dtype=np.int64)
+            rnames = []
+            for p, (r1, r2) in enumerate(chunk):
+                seqs[4 * p, :r1.seq_len] = r1.seq
+                seqs[4 * p + 1, :r1.seq_len] = r1.rcseq
+                seqs[4 * p + 2, :r2.seq_len] = r2.seq
+                seqs[4 * p + 3, :r2.seq_len] = r2.rcseq
+                lens[4 * p] = lens[4 * p + 1] = r1.seq_len
+                lens[4 * p + 2] = lens[4 * p + 3] = r2.seq_len
+                mr_state[p] = NativeFilter.mr_to_state(r1.mr, nc.chr_names)
+                evict[p] = r1.mr.spos_r1
+                rnames.append(r1.rname)
+            chr_idx = mr_state[:, 18]
+            if (chr_idx < 0).any():
+                raise RuntimeError("unmapped chr name in BSJ stream")
+            # chr-relative -> contig coordinates (circ.py _conloc)
+            sh = nc.shift_vals[chr_idx]
+            for col in (1, 2, 8, 9):
+                mr_state[:, col] += sh
+            res, cand = nc.run(seqs, lens, mr_state, evict)
+            for row in res.tolist():
+                ri, typ, ci_ = row[0], row[1], row[2]
+                self.circ_res.append(CircRes(
+                    chr=nc.chr_names[ci_], rname=rnames[ri],
+                    spos=row[3], epos=row[4], type=typ,
+                    start_signal=sig_str(row[5:7]),
+                    end_signal=sig_str(row[7:9]),
+                    start_bp_ref=sig_str(row[9:11]),
+                    end_bp_ref=sig_str(row[11:13])))
+            for row in cand.tolist():
+                ri, kind, ci_ = row[0], row[1], row[2]
+                name = nc.chr_names[ci_]
+                f = row[3:]
+                if kind == 0:
+                    # partial, mm_r1, mm_r2, typ (circ.py
+                    # _candid_line_single order: partial first)
+                    self.candid_lines.append(
+                        f"{rnames[ri]}\t{name}\t"
+                        + "\t".join(str(v) for v in f[:15])
+                        + f"\t{f[15]}")
+                else:
+                    self.candid_lines.append(
+                        f"{rnames[ri]}\t{name}\t"
+                        + "\t".join(str(v) for v in f[:20])
+                        + f"\t{f[20]}")
 
     def report_events(self, path: str):
         with open(path, "w") as f:
