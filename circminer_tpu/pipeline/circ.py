@@ -33,6 +33,7 @@ from .extend import TransExtension, GenomeView, AlignRes, EDIT_ALIGNMENT
 from .mapping import ReadRecord
 from . import categories as cat
 from ..utils import logging as ulog
+from ..utils.timing import GLOBAL_TIMER as T
 
 MAXHIT = 1000     # hash_table.cpp:6
 TOPCHAIN = 10     # process_circ.cpp:19
@@ -940,30 +941,33 @@ class ProcessCirc:
             nc = NativeCirc(self.db, contig, self.gi.contigs[contig].codes,
                             self.cfg)
             n = len(chunk)
-            L = max(max(r1.seq_len, r2.seq_len) for r1, r2 in chunk)
-            seqs = np.zeros((4 * n, L), dtype=np.int8)
-            lens = np.zeros(4 * n, dtype=np.int32)
-            mr_state = np.zeros((n, 20), dtype=np.int64)
-            evict = np.zeros(n, dtype=np.int64)
-            rnames = []
-            for p, (r1, r2) in enumerate(chunk):
-                seqs[4 * p, :r1.seq_len] = r1.seq
-                seqs[4 * p + 1, :r1.seq_len] = r1.rcseq
-                seqs[4 * p + 2, :r2.seq_len] = r2.seq
-                seqs[4 * p + 3, :r2.seq_len] = r2.rcseq
-                lens[4 * p] = lens[4 * p + 1] = r1.seq_len
-                lens[4 * p + 2] = lens[4 * p + 3] = r2.seq_len
-                mr_state[p] = NativeFilter.mr_to_state(r1.mr, nc.chr_names)
-                evict[p] = r1.mr.spos_r1
-                rnames.append(r1.rname)
-            chr_idx = mr_state[:, 18]
-            if (chr_idx < 0).any():
-                raise RuntimeError("unmapped chr name in BSJ stream")
-            # chr-relative -> contig coordinates (circ.py _conloc)
-            sh = nc.shift_vals[chr_idx]
-            for col in (1, 2, 8, 9):
-                mr_state[:, col] += sh
-            res, cand = nc.run(seqs, lens, mr_state, evict)
+            with T.phase("circ_prep"):
+                L = max(max(r1.seq_len, r2.seq_len) for r1, r2 in chunk)
+                seqs = np.zeros((4 * n, L), dtype=np.int8)
+                lens = np.zeros(4 * n, dtype=np.int32)
+                mr_state = np.zeros((n, 20), dtype=np.int64)
+                evict = np.zeros(n, dtype=np.int64)
+                rnames = []
+                for p, (r1, r2) in enumerate(chunk):
+                    seqs[4 * p, :r1.seq_len] = r1.seq
+                    seqs[4 * p + 1, :r1.seq_len] = r1.rcseq
+                    seqs[4 * p + 2, :r2.seq_len] = r2.seq
+                    seqs[4 * p + 3, :r2.seq_len] = r2.rcseq
+                    lens[4 * p] = lens[4 * p + 1] = r1.seq_len
+                    lens[4 * p + 2] = lens[4 * p + 3] = r2.seq_len
+                    mr_state[p] = NativeFilter.mr_to_state(r1.mr,
+                                                           nc.chr_names)
+                    evict[p] = r1.mr.spos_r1
+                    rnames.append(r1.rname)
+                chr_idx = mr_state[:, 18]
+                if (chr_idx < 0).any():
+                    raise RuntimeError("unmapped chr name in BSJ stream")
+                # chr-relative -> contig coordinates (circ.py _conloc)
+                sh = nc.shift_vals[chr_idx]
+                for col in (1, 2, 8, 9):
+                    mr_state[:, col] += sh
+            with T.phase("circ_native"):
+                res, cand = nc.run(seqs, lens, mr_state, evict)
             for row in res.tolist():
                 ri, typ, ci_ = row[0], row[1], row[2]
                 self.circ_res.append(CircRes(
