@@ -213,9 +213,22 @@ def _run_search_stages(args, cfg: Config) -> int:
             return chrloc2conloc(db.chr2con, chrname, s, e)
 
         pair_src = read_pairs(args.seq1, args.seq2, cfg)
+
+        # attach the global pair ordinal: the circ-stage sort tie-breaks on
+        # it so a multi-host merge reproduces the single-host stream order
         if n_hosts > 1:
             # dp striping: host h maps pairs h, h+N, ... of the stream
-            pair_src = stripe_pairs(pair_src, host_id, n_hosts)
+            def _with_ord(ps=pair_src):
+                for gi, (r1, r2) in stripe_pairs(ps, host_id, n_hosts,
+                                                 with_index=True):
+                    r1.ordinal = gi
+                    yield r1, r2
+        else:
+            def _with_ord(ps=pair_src):
+                for gi, (r1, r2) in enumerate(ps):
+                    r1.ordinal = gi
+                    yield r1, r2
+        pair_src = _with_ord()
         if args.device in ("auto", "tpu", "tpu-chain", "tpu-wave",
                            "tpu-full", "native"):
             from .pipeline.device_pipeline import DeviceMappingPipeline

@@ -170,16 +170,24 @@ def iter_sorted_remain(r1_path: str, r2_path: str, cfg: Config,
     r1_paths = [r1_path] if isinstance(r1_path, str) else list(r1_path)
     r2_paths = [r2_path] if isinstance(r2_path, str) else list(r2_path)
     src = itertools.chain.from_iterable(
-        zip(FastqReader(p1, cfg), FastqReader(p2, cfg))
+        iter_remain_pairs(p1, p2, cfg)
         for p1, p2 in zip(r1_paths, r2_paths))
+
+    # tie-break equal positions by the ORIGINAL global pair ordinal so the
+    # merged multi-host stream interleaves shards exactly like the
+    # single-host stable sort (support-name order in circ_report is
+    # stream-order-dependent; pinned by tests/test_distributed.py)
+    def key(pr):
+        return (pr[0].mr.genome_spos, getattr(pr[0], "ordinal", 0))
+
     if internal:
         recs = list(src)
-        recs.sort(key=lambda pr: pr[0].mr.genome_spos)
+        recs.sort(key=key)
         yield from recs
         return
 
     first = list(itertools.islice(src, chunk_pairs))
-    first.sort(key=lambda pr: pr[0].mr.genome_spos)
+    first.sort(key=key)
     second = list(itertools.islice(src, chunk_pairs))
     if not second:
         # common case: fits in one chunk — no spill
@@ -200,32 +208,35 @@ def iter_sorted_remain(r1_path: str, r2_path: str, cfg: Config,
             return w.p1, w.p2
 
         paths = [spill(first)]
-        second.sort(key=lambda pr: pr[0].mr.genome_spos)
+        second.sort(key=key)
         paths.append(spill(second))
         while True:
             chunk = list(itertools.islice(src, chunk_pairs))
             if not chunk:
                 break
-            chunk.sort(key=lambda pr: pr[0].mr.genome_spos)
+            chunk.sort(key=key)
             paths.append(spill(chunk))
 
-        streams = [zip(FastqReader(p1, cfg), FastqReader(p2, cfg))
-                   for p1, p2 in paths]
-        yield from heapq.merge(
-            *streams, key=lambda pr: pr[0].mr.genome_spos)
+        streams = [iter_remain_pairs(p1, p2, cfg) for p1, p2 in paths]
+        yield from heapq.merge(*streams, key=key)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 class RemainWriter:
     """Writes the next-round / circ-stage 'remain' FASTQ pair
-    (filter.cpp:413-455)."""
+    (filter.cpp:413-455) plus a ``.ord`` sidecar of original global pair
+    ordinals (one int per record; not part of the reference format) so a
+    multi-host merge can reproduce the single-host tie order."""
 
     def __init__(self, prefix: str, round_num: int):
         self.p1 = f"{prefix}_{round_num}_remain_R1.fastq"
         self.p2 = f"{prefix}_{round_num}_remain_R2.fastq"
+        self.po = f"{prefix}_{round_num}_remain.ord"
         self.f1 = open(self.p1, "w")
         self.f2 = open(self.p2, "w")
+        self.fo = open(self.po, "w")
+        self._n = 0
 
     def write(self, rec1: ReadRecord, rec2: ReadRecord, mr: MatchedRead,
               chrloc2conloc=None, seq1: str = None, seq2: str = None):
@@ -235,7 +246,28 @@ class RemainWriter:
         s2 = seq2 if seq2 is not None else decode_seq(rec2.seq)
         self.f1.write(f"@{rec1.rname}{comment}\n{s1}\n+\n{rec1.qual}\n")
         self.f2.write(f"@{rec2.rname}{comment}\n{s2}\n+\n{rec2.qual}\n")
+        self.fo.write(f"{getattr(rec1, 'ordinal', self._n)}\n")
+        self._n += 1
 
     def close(self):
         self.f1.close()
         self.f2.close()
+        self.fo.close()
+
+
+def iter_remain_pairs(p1: str, p2: str, cfg: Config):
+    """Stream a remain FASTQ pair, re-attaching each record's original
+    global pair ordinal from the ``.ord`` sidecar (sequential fallback when
+    the sidecar is absent — e.g. reference-produced remain files)."""
+    import itertools as _it
+    po = p1.replace("_R1.fastq", ".ord")
+    if os.path.exists(po):
+        with open(po) as f:
+            ords = [int(x) for x in f]
+        osrc = iter(ords)
+    else:
+        osrc = _it.count()
+    for (r1, r2), o in zip(zip(FastqReader(p1, cfg), FastqReader(p2, cfg)),
+                           osrc):
+        r1.ordinal = o
+        yield r1, r2

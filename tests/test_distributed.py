@@ -39,8 +39,8 @@ def test_two_host_run_matches_single(tmp_path):
     tmp = str(tmp_path)
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_synthetic.py"),
-         "--out", tmp, "--genome-len", "25000", "--n-reads", "240",
-         "--circ-frac", "0.3", "--seed", "55"],
+         "--out", tmp, "--genome-len", "60000", "--n-reads", "1500",
+         "--circ-frac", "0.4", "--seed", "55"],
         check=True, cwd=tmp, env=env, capture_output=True)
     _cli(["--index", "-r", "ref.fa", "-k", "20"], tmp, env)
 
