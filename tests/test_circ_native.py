@@ -38,6 +38,11 @@ def bsj_stream():
                                    contig_lengths=[len(c) for c in contigs])
     reads, _ = simulate_reads(rng, g, 1200, 800, read_len=100,
                               err_rate=0.01)
+    # short fragments place the junction inside BOTH mates -> CHI2BSJ
+    # reads, covering the double-split / overlap-BSJ / rescue C++ paths
+    extra, _ = simulate_reads(rng, g, 0, 600, read_len=100,
+                              frag_len=(115, 165), err_rate=0.01)
+    reads = reads + extra
     pairs = []
     for r in reads:
         s1, s2 = encode_seq(r.r1), encode_seq(r.r2)
@@ -68,6 +73,8 @@ def _key(c):
 def test_native_circ_matches_oracle(bsj_stream):
     db, gi, cfg, bsj = bsj_stream
     assert len(bsj) > 50, "stream too small to be a meaningful pin"
+    n_double = sum(1 for r1, _ in bsj if r1.mr.type == CHI2BSJ)
+    assert n_double > 5, "no double-split reads — CHI2BSJ paths unpinned"
 
     pc_py = ProcessCirc(db, gi, cfg, "/tmp/circ_py")
     pc_py.run(bsj, native=False)
