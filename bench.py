@@ -143,6 +143,13 @@ def main():
 
     pairs = [make_pair(r) for r in reads]
 
+    # the 1M-pair read set keeps ~3.5M numpy objects alive; CPython's
+    # cyclic GC full-collects over them at arbitrary points (seconds of
+    # run-to-run noise straddling the map/circ boundary).  Everything here
+    # is refcount-managed, so the collector is pure overhead.
+    import gc
+    gc.disable()
+
     extend_exec = "device" if args.chain_exec == "wave" else "native"
     chain_exec = "auto" if args.chain_exec == "wave" else args.chain_exec
     pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=args.batch,
@@ -156,12 +163,14 @@ def main():
     n = pipe.map_stream(iter(pairs))
     map_s = time.time() - t0
 
+    from circminer_tpu.utils.timing import GLOBAL_TIMER as _T
     t0 = time.time()
-    bsj = [(r1, r2) for r1, r2 in pairs
-           if r1.mr.type in (CHIBSJ, CHI2BSJ)]
-    for r1, _ in bsj:
-        r1.mr.genome_spos = r1.mr.spos_r1
-    bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
+    with _T.phase("circ_select"):
+        bsj = [(r1, r2) for r1, r2 in pairs
+               if r1.mr.type in (CHIBSJ, CHI2BSJ)]
+        for r1, _ in bsj:
+            r1.mr.genome_spos = r1.mr.spos_r1
+        bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
     pc = ProcessCirc(db, gi, cfg, os.path.join("/tmp", "bench_out"))
     if args.profile_circ:
         import cProfile
