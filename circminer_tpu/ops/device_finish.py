@@ -58,6 +58,18 @@ def extract_kbest_device(dp10, back, pos, qpos, cnt, *, k: int, C: int,
     # candidate secondary order among score ties: list desc, index asc
     sec = l_of * S + (S - 1 - s_of)                              # [M]
 
+    # the pick order is STATIC — picks never change dp — so sort all cells
+    # once by (score desc, sec desc) and walk the prefix, instead of a
+    # masked argmax + processed-scatter per iteration (was 29% of the
+    # fused dispatch's device time, HW_NOTES round-3 profile)
+    neg_dp = jnp.where(validf, -dpf, -_NEG)                      # [R, M]
+    neg_sec = jnp.broadcast_to(-sec[None, :], (R, M))
+    cell_idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :],
+                                (R, M))
+    _, _, sorted_idx = jax.lax.sort((neg_dp, neg_sec, cell_idx),
+                                    num_keys=2)
+    n_valid = jnp.sum(validf.astype(jnp.int32), axis=1)          # [R]
+
     REP = C * max(1, NL - 1)
     out_rpos = jnp.zeros((R, C, NL), jnp.int32)
     out_qp = jnp.zeros((R, C, NL), jnp.int32)
@@ -66,19 +78,12 @@ def extract_kbest_device(dp10, back, pos, qpos, cnt, *, k: int, C: int,
     cn = jnp.zeros((R,), jnp.int32)
     repeats = jnp.full((R, REP), -1, jnp.int32)
     rep_n = jnp.zeros((R,), jnp.int32)
-    processed = jnp.zeros((R, M), jnp.bool_)
 
-    def pick_body(_, carry):
-        (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n,
-         processed) = carry
-        avail = validf & ~processed
-        msc = jnp.max(jnp.where(avail, dpf, _NEG), axis=1)       # [R]
-        has = msc > _NEG
-        tie = avail & (dpf == msc[:, None])
-        c0 = jnp.argmax(jnp.where(tie, sec[None, :], -1),
-                        axis=1).astype(jnp.int32)                # [R]
-        processed = processed.at[ar, c0].set(
-            jnp.where(has, True, processed[ar, c0]))
+    def pick_body(t, carry):
+        (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n) = carry
+        c0 = sorted_idx[:, t]                                    # [R]
+        msc = dpf[ar, c0]
+        has = t < n_valid
         head_pos = posf[ar, c0]
         is_rep = jnp.any(repeats == head_pos[:, None], axis=1)
         skip = (msc < best10) & is_rep
@@ -115,15 +120,13 @@ def extract_kbest_device(dp10, back, pos, qpos, cnt, *, k: int, C: int,
         out_sc = out_sc.at[ar, slot].set(
             jnp.where(emit, msc, out_sc[ar, slot]))
         cn = cn + emit.astype(jnp.int32)
-        return (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n,
-                processed)
+        return (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n)
 
-    carry = (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n,
-             processed)
-    (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n, processed) = \
+    carry = (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n)
+    (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n) = \
         jax.lax.fori_loop(0, iters, pick_body, carry)
 
-    incomplete = jnp.any(validf & ~processed, axis=1) & (cn < C)
+    incomplete = (n_valid > iters) & (cn < C)
 
     # ---- single-fragment fallback (chain.cpp:283-298): lists desc, s asc
     fb_needed = cn == 0
