@@ -235,6 +235,24 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
     backpointer into NL*S (or -1).
     """
     B, NL, S = pos.shape
+    pre = _chain_prelude(pos, cnt, qpos, seq_len, nb_bits, iv_spos, iv_epos,
+                         iv_max_end, iv_min_end, iv_max_next, iv_nseg,
+                         seg_end, seg_next, k=k, max_ed=max_ed,
+                         seg_pad=seg_pad)
+    posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c = pre
+    dp, back = _chain_dp_core(pos, posf, qposf, validf, ub, mee, e1,
+                              sep_c, snp_c, pv_c, k=k, max_ed=max_ed,
+                              max_intron=max_intron)
+    return dp.reshape(B, NL, S), back.reshape(B, NL, S)
+
+
+def _chain_prelude(pos, cnt, qpos, seq_len,
+                   nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+                   iv_max_next, iv_nseg, seg_end, seg_next,
+                   *, k: int, max_ed: int, seg_pad: int):
+    """Per-cell upper bounds + pre-gathered junction tables (the
+    annotation-dependent half of the chain DP; cheap, gather-heavy XLA)."""
+    B, NL, S = pos.shape
     M = NL * S
     n_iv = iv_spos.shape[0]
 
@@ -299,54 +317,141 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
     mee = jnp.where(nb & ~found, max_end_intr, mee)
     ol_iv = jnp.where(nb & found & exonic, iv_c, -1)
 
-    # ---- per-cell constants ----
+    # ---- per-cell constants + pre-gathered junction tables ----
     e1 = posf + k - 1                                            # [B, M]
     has_iv = ol_iv >= 0
     iv_cc = jnp.clip(ol_iv, 0, n_iv - 1)
-    nseg_i = iv_nseg[iv_cc]
+    sep_c = seg_end[iv_cc]                                       # [B, M, P]
+    snp_c = seg_next[iv_cc]
+    pv_c = has_iv[..., None] & (
+        jnp.arange(seg_pad)[None, None, :] < iv_nseg[iv_cc][..., None])
+
+    return posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c
+
+
+def chain_batch_pallas(pos, cnt, qpos, seq_len,
+                       nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
+                       iv_max_next, iv_nseg, seg_end, seg_next,
+                       *, k: int, max_ed: int, max_intron: int,
+                       seg_pad: int, block_b: int = 128,
+                       interpret: bool = False):
+    """chain_batch_device with the DP core executed as a Pallas kernel:
+    each row block's cells, gates, and [BB, S, M] transition tensors stay
+    VMEM-resident across all NL list steps instead of round-tripping HBM
+    between them (the round-3 xplane profile measured those round trips at
+    46% of the fused device-full dispatch).  Bit-identical to
+    chain_batch_device (same _chain_dp_core); pinned by
+    tests/test_chain_pallas.py."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, NL, S = pos.shape
+    M = NL * S
+    P = seg_pad
+
+    # identical prelude to chain_batch_device (shared would tangle the
+    # tracing; the parity test pins the pair)
+    pre = _chain_prelude(pos, cnt, qpos, seq_len, nb_bits, iv_spos, iv_epos,
+                         iv_max_end, iv_min_end, iv_max_next, iv_nseg,
+                         seg_end, seg_next, k=k, max_ed=max_ed,
+                         seg_pad=seg_pad)
+    posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c = pre
+
+    BB = min(block_b, B)
+    pad = (-B) % BB
+    if pad:
+        zi = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        pos3p = zi(pos)
+        posf, qposf, ub, mee, e1 = map(zi, (posf, qposf, ub, mee, e1))
+        validf, sep_c, snp_c, pv_c = map(zi, (validf, sep_c, snp_c, pv_c))
+    else:
+        pos3p = pos
+    Bp = B + pad
+    v8 = validf.astype(jnp.int8)
+    pv8 = pv_c.astype(jnp.int8)
+
+    def kernel(pos_ref, posf_ref, qposf_ref, v_ref, ub_ref, mee_ref,
+               e1_ref, sep_ref, snp_ref, pv_ref, dp_ref, back_ref):
+        dp, back = _chain_dp_core(
+            pos_ref[:], posf_ref[:], qposf_ref[:], v_ref[:] != 0,
+            ub_ref[:], mee_ref[:], e1_ref[:], sep_ref[:], snp_ref[:],
+            pv_ref[:] != 0, k=k, max_ed=max_ed, max_intron=max_intron)
+        dp_ref[:] = dp
+        back_ref[:] = back
+
+    def bs(*shape):
+        nd = len(shape)
+        return pl.BlockSpec((BB,) + shape,
+                            lambda b, nd=nd: (b,) + (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    dp, back = pl.pallas_call(
+        kernel,
+        grid=(Bp // BB,),
+        in_specs=[bs(NL, S), bs(M), bs(M), bs(M), bs(M), bs(M), bs(M),
+                  bs(M, P), bs(M, P), bs(M, P)],
+        out_specs=[bs(M), bs(M)],
+        out_shape=[jax.ShapeDtypeStruct((Bp, M), jnp.int32),
+                   jax.ShapeDtypeStruct((Bp, M), jnp.int32)],
+        interpret=interpret,
+    )(pos3p, posf, qposf, v8, ub, mee, e1, sep_c, snp_c, pv8)
+    return (dp[:B].reshape(B, NL, S), back[:B].reshape(B, NL, S))
+
+
+def _chain_dp_core(pos3, posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
+                   pv_c, *, k: int, max_ed: int, max_intron: int):
+    """The annotation-gated sparse DP over one (sub)batch.
+
+    Pure elementwise/reduce jnp on pre-gathered per-cell tensors, so the
+    SAME function is both the XLA formulation (whole batch; used by
+    chain_batch_device) and the Pallas kernel body (per VMEM-resident row
+    block; chain_batch_pallas) — bit-identical by construction.
+    """
+    b, NL, S = pos3.shape
+    M = NL * S
+    P = sep_c.shape[-1]
+    slot_of = jnp.repeat(jnp.arange(NL, dtype=jnp.int32), S)      # [M]
     alpha10 = jnp.int32(200000) * k
-    pj = posf[:, None, :]                                        # [B, 1, M]
+    pj = posf[:, None, :]                                        # [b, 1, M]
 
     def trans_rows(rows):
         """Transition scores for source cells `rows` -> all cells:
-        int32 [B, S, M], _NEG where invalid.  Computed lazily per DP step so
-        peak memory stays [B, S, M] instead of [B, M, M]."""
-        pi = posf[:, rows, None]                                 # [B, S, 1]
+        int32 [b, S, M], _NEG where invalid.  Computed lazily per DP step
+        so peak memory stays [b, S, M] instead of [b, M, M]."""
+        pi = posf[:, rows, None]                                 # [b, S, 1]
         rd = qposf[:, None, :] - qposf[:, rows, None] - k
         slot_ok = slot_of[None, rows, None] < slot_of[None, None, :]
         base_ok = (validf[:, rows, None] & validf[:, None, :] & slot_ok
                    & (pj > pi) & (pj <= ub[:, rows, None]))
         # maxIntron rule (chain.cpp:148-150): pair (cell_i, list_j) allowed
         # iff the first candidate beyond pos_i is within max_intron
-        gt = pos[:, None, :, :] > pi[..., None]                  # [B,S,NL,S]
+        gt = pos3[:, None, :, :] > pi[..., None]                 # [b,S,NL,S]
         minpos = jnp.min(
-            jnp.where(gt, pos[:, None, :, :], jnp.int32(2**31 - 1)), axis=-1)
-        pair_allowed = minpos <= (pi[..., 0, None] + max_intron)  # [B,S,NL]
+            jnp.where(gt, pos3[:, None, :, :], jnp.int32(2**31 - 1)),
+            axis=-1)
+        pair_allowed = minpos <= (pi[..., 0, None] + max_intron)  # [b,S,NL]
         base_ok &= pair_allowed[:, :, slot_of]
         # genome gate
         mee_r = mee[:, rows, None]
         ge_allowed = (mee_r == 0) | ((pj + k - 1) <= mee_r)
         gd = pj - pi - k
         g_ok = ge_allowed & (jnp.abs(gd - rd) <= max_ed)
-        # junction gate (chain.cpp:28-64) over padded segs of ol_iv_i;
-        # fori_loop keeps the HLO graph small (unrolling seg_pad inside the
-        # NL-step DP made cold compiles take minutes)
-        e1_r = e1[:, rows]                                       # [B, S]
-        ivr = iv_cc[:, rows]
-        pvr = has_iv[:, rows]
-        nsegr = nseg_i[:, rows]
+        # junction gate (chain.cpp:28-64) over the pre-gathered padded segs
+        e1_r = e1[:, rows]                                       # [b, S]
+        sep_r = sep_c[:, rows]                                   # [b, S, P]
+        snp_r = snp_c[:, rows]
+        pv_r = pv_c[:, rows]
 
         def seg_body(p, carry):
             jn_ok, jn_dist, intron_any = carry
-            sep = jnp.take_along_axis(
-                seg_end[ivr], jnp.full_like(ivr, p)[..., None],
-                axis=-1)[..., 0]                                 # [B, S]
-            snp = jnp.take_along_axis(
-                seg_next[ivr], jnp.full_like(ivr, p)[..., None],
-                axis=-1)[..., 0]
-            pv = pvr & (p < nsegr)
-            e12end = sep - e1_r                                  # [B, S]
-            beg2s2 = pj - snp[:, :, None]                        # [B, S, M]
+            sep = jax.lax.dynamic_index_in_dim(sep_r, p, axis=2,
+                                               keepdims=False)   # [b, S]
+            snp = jax.lax.dynamic_index_in_dim(snp_r, p, axis=2,
+                                               keepdims=False)
+            pv = jax.lax.dynamic_index_in_dim(pv_r, p, axis=2,
+                                              keepdims=False)
+            e12end = sep - e1_r                                  # [b, S]
+            beg2s2 = pj - snp[:, :, None]                        # [b, S, M]
             td = e12end[:, :, None] + beg2s2
             acc = (pv & (e12end >= 0))[:, :, None] & (beg2s2 >= 0) & \
                   (jnp.abs(td - rd) <= max_ed)
@@ -357,7 +462,7 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
             return jn_ok, jn_dist, intron_any | ic
 
         jn_ok, jn_dist, intron_any = jax.lax.fori_loop(
-            0, seg_pad, seg_body,
+            0, P, seg_body,
             (jnp.zeros_like(base_ok), jnp.zeros(base_ok.shape, jnp.int32),
              jnp.zeros_like(base_ok)))
         s2_gt_e1 = pj > e1_r[:, :, None]
@@ -370,11 +475,11 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
         return jnp.where(ok, alpha10 - beta10, _NEG)
 
     # ---- sequential DP over lists (descending) ----
-    dp = jnp.where(validf, jnp.int32(10 * k), _NEG)              # [B, M]
-    back = jnp.full((B, M), -1, dtype=jnp.int32)
+    dp = jnp.where(validf, jnp.int32(10 * k), _NEG)              # [b, M]
+    back = jnp.full((b, M), -1, dtype=jnp.int32)
     for l in range(NL - 2, -1, -1):
         rows = slice(l * S, (l + 1) * S)
-        cand = trans_rows(rows) + dp[:, None, :]                 # [B, S, M]
+        cand = trans_rows(rows) + dp[:, None, :]                 # [b, S, M]
         bestv = jnp.max(cand, axis=-1)
         besti = jnp.argmax(cand, axis=-1).astype(jnp.int32)
         improve = bestv > dp[:, rows]
@@ -382,7 +487,7 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
         back = back.at[:, rows].set(
             jnp.where(improve, besti, back[:, rows]))
 
-    return dp.reshape(B, NL, S), back.reshape(B, NL, S)
+    return dp, back
 
 
 def extract_kbest(dp10: np.ndarray, back: np.ndarray, pos: np.ndarray,
