@@ -430,7 +430,12 @@ def _chain_dp_core(pos3, posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
             jnp.where(gt, pos3[:, None, :, :], jnp.int32(2**31 - 1)),
             axis=-1)
         pair_allowed = minpos <= (pi[..., 0, None] + max_intron)  # [b,S,NL]
-        base_ok &= pair_allowed[:, :, slot_of]
+        # expand per-list -> per-cell via broadcast+reshape (equivalent to
+        # [:, :, slot_of]; gathers don't lower in Mosaic)
+        nsrc = pair_allowed.shape[1]
+        base_ok &= jnp.broadcast_to(
+            pair_allowed[:, :, :, None], (b, nsrc, NL, S)).reshape(
+                b, nsrc, M)
         # genome gate
         mee_r = mee[:, rows, None]
         ge_allowed = (mee_r == 0) | ((pj + k - 1) <= mee_r)

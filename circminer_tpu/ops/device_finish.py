@@ -59,9 +59,13 @@ def extract_kbest_device(dp10, back, pos, qpos, cnt, *, k: int, C: int,
     sec = l_of * S + (S - 1 - s_of)                              # [M]
 
     # the pick order is STATIC — picks never change dp — so sort all cells
-    # once by (score desc, sec desc) and walk the prefix, instead of a
-    # masked argmax + processed-scatter per iteration (was 29% of the
-    # fused dispatch's device time, HW_NOTES round-3 profile)
+    # once by (score desc, sec desc); and the backtrack WALKS are emission-
+    # independent, so they hoist out of the serial loop entirely: all T
+    # candidate walks run as parallel take_along_axis gathers, the serial
+    # loop touches only [R]/[R, REP] emission state, and the chain tensors
+    # assemble in ONE gather at the end.  (The per-iteration walk+scatter
+    # formulation on [R, C, NL] tensors cost ~4.9 s of the 6.7 s fused
+    # dispatch — HW_NOTES round-3 stage bisection.)
     neg_dp = jnp.where(validf, -dpf, -_NEG)                      # [R, M]
     neg_sec = jnp.broadcast_to(-sec[None, :], (R, M))
     cell_idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :],
@@ -70,61 +74,86 @@ def extract_kbest_device(dp10, back, pos, qpos, cnt, *, k: int, C: int,
                                     num_keys=2)
     n_valid = jnp.sum(validf.astype(jnp.int32), axis=1)          # [R]
 
+    T = iters
+    heads = sorted_idx[:, :T]                                    # [R, T]
+    sc_sorted = jnp.take_along_axis(dpf, heads, axis=1)          # [R, T]
+
+    # ---- parallel walks of every candidate (bounded by NL fragments) ----
+    cur = heads
+    active = jnp.ones((R, T), jnp.bool_)
+    wcells, wact = [], []
+    for _ in range(NL):
+        wcells.append(cur)
+        wact.append(active)
+        nxt = jnp.take_along_axis(backf, jnp.clip(cur, 0, M - 1), axis=1)
+        active = active & (nxt >= 0)
+        cur = jnp.where(active, nxt, cur)
+    wc = jnp.stack(wcells, axis=2)                               # [R, T, NL]
+    wa = jnp.stack(wact, axis=2)
+    clen_all = jnp.sum(wa.astype(jnp.int32), axis=2)             # [R, T]
+    wpos = jnp.take_along_axis(posf, wc.reshape(R, T * NL),
+                               axis=1).reshape(R, T, NL)
+    wqp = jnp.take_along_axis(qposf, wc.reshape(R, T * NL),
+                              axis=1).reshape(R, T, NL)
+    head_pos_all = wpos[:, :, 0]                                 # [R, T]
+
+    # ---- serial emission (repeat suppression is order-dependent) --------
+    # emitted chains add at most C * (NL - 1) non-head fragments, so the
+    # repeat buffer never overflows
     REP = C * max(1, NL - 1)
-    out_rpos = jnp.zeros((R, C, NL), jnp.int32)
-    out_qp = jnp.zeros((R, C, NL), jnp.int32)
-    out_clen = jnp.zeros((R, C), jnp.int32)
-    out_sc = jnp.zeros((R, C), jnp.int32)
     cn = jnp.zeros((R,), jnp.int32)
     repeats = jnp.full((R, REP), -1, jnp.int32)
     rep_n = jnp.zeros((R,), jnp.int32)
+    emit_mask = jnp.zeros((R, T), jnp.bool_)
 
     def pick_body(t, carry):
-        (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n) = carry
-        c0 = sorted_idx[:, t]                                    # [R]
-        msc = dpf[ar, c0]
+        cn, repeats, rep_n, emit_mask = carry
+        msc = jax.lax.dynamic_index_in_dim(sc_sorted, t, axis=1,
+                                           keepdims=False)       # [R]
+        hp = jax.lax.dynamic_index_in_dim(head_pos_all, t, axis=1,
+                                          keepdims=False)
         has = t < n_valid
-        head_pos = posf[ar, c0]
-        is_rep = jnp.any(repeats == head_pos[:, None], axis=1)
-        skip = (msc < best10) & is_rep
-        emit = has & ~skip & (cn < C)
-
-        # backtrack walk (bounded by NL fragments)
-        slot = jnp.minimum(cn, C - 1)
-
-        def walk_body(step, wc):
-            out_rpos, out_qp, out_clen, repeats, rep_n, cur, active = wc
-            cl = jnp.clip(cur, 0, M - 1)
-            wr = emit & active
-            out_rpos = out_rpos.at[ar, slot, step].set(
-                jnp.where(wr, posf[ar, cl], out_rpos[ar, slot, step]))
-            out_qp = out_qp.at[ar, slot, step].set(
-                jnp.where(wr, qposf[ar, cl], out_qp[ar, slot, step]))
-            out_clen = out_clen.at[ar, slot].set(
-                jnp.where(wr, step + 1, out_clen[ar, slot]))
-            # non-head fragments feed the repeat set (chain.cpp:266-270)
-            add = wr & (step > 0)
-            rslot = jnp.minimum(rep_n, REP - 1)
-            repeats = repeats.at[ar, rslot].set(
-                jnp.where(add, posf[ar, cl], repeats[ar, rslot]))
-            rep_n = rep_n + add.astype(jnp.int32)
-            nxt = backf[ar, cl]
-            active = active & (nxt >= 0)
-            return (out_rpos, out_qp, out_clen, repeats, rep_n,
-                    jnp.where(active, nxt, cur), active)
-
-        wc = (out_rpos, out_qp, out_clen, repeats, rep_n, c0,
-              jnp.ones((R,), jnp.bool_))
-        out_rpos, out_qp, out_clen, repeats, rep_n, _, _ = \
-            jax.lax.fori_loop(0, NL, walk_body, wc)
-        out_sc = out_sc.at[ar, slot].set(
-            jnp.where(emit, msc, out_sc[ar, slot]))
+        is_rep = jnp.any(repeats == hp[:, None], axis=1)
+        emit = has & ~((msc < best10) & is_rep) & (cn < C)
+        # append the emitted walk's non-head positions (chain.cpp:266-270)
+        npos = jax.lax.dynamic_index_in_dim(wpos, t, axis=1,
+                                            keepdims=False)[:, 1:]
+        nval = jax.lax.dynamic_index_in_dim(wa, t, axis=1,
+                                            keepdims=False)[:, 1:]
+        add = emit[:, None] & nval                               # [R, NL-1]
+        offs = jnp.cumsum(add.astype(jnp.int32), axis=1) - 1
+        slots = jnp.where(add, rep_n[:, None] + offs, REP)
+        buf = jnp.concatenate([repeats, jnp.zeros((R, 1), jnp.int32)],
+                              axis=1)
+        repeats = buf.at[ar[:, None], slots].set(
+            jnp.where(add, npos, buf[ar[:, None], slots]))[:, :REP]
+        rep_n = rep_n + jnp.sum(add.astype(jnp.int32), axis=1)
         cn = cn + emit.astype(jnp.int32)
-        return (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n)
+        emit_mask = jax.lax.dynamic_update_slice_in_dim(
+            emit_mask, emit[:, None], t, axis=1)
+        return cn, repeats, rep_n, emit_mask
 
-    carry = (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n)
-    (out_rpos, out_qp, out_clen, out_sc, cn, repeats, rep_n) = \
-        jax.lax.fori_loop(0, iters, pick_body, carry)
+    cn, repeats, rep_n, emit_mask = jax.lax.fori_loop(
+        0, T, pick_body, (cn, repeats, rep_n, emit_mask))
+
+    # ---- one-shot assembly: slot c <- the c-th emitted pick -------------
+    esl = jnp.cumsum(emit_mask.astype(jnp.int32), axis=1) - 1    # [R, T]
+    esl = jnp.where(emit_mask, jnp.minimum(esl, C - 1), C)
+    tvals = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
+                             (R, T))
+    pick_of_slot = jnp.zeros((R, C + 1), jnp.int32).at[
+        ar[:, None], esl].set(tvals)[:, :C]                      # [R, C]
+    slot_valid = jnp.arange(C)[None, :] < cn[:, None]            # [R, C]
+    psafe = jnp.clip(pick_of_slot, 0, T - 1)
+    gather3 = lambda a: jnp.take_along_axis(
+        a, psafe[:, :, None], axis=1)                            # [R, C, NL]
+    sel_wa = gather3(wa) & slot_valid[:, :, None]
+    out_rpos = jnp.where(sel_wa, gather3(wpos), 0)
+    out_qp = jnp.where(sel_wa, gather3(wqp), 0)
+    out_clen = jnp.where(slot_valid,
+                         jnp.take_along_axis(clen_all, psafe, axis=1), 0)
+    out_sc = jnp.where(slot_valid,
+                       jnp.take_along_axis(sc_sorted, psafe, axis=1), 0)
 
     incomplete = (n_valid > iters) & (cn < C)
 
