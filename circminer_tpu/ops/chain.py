@@ -410,17 +410,20 @@ def _chain_dp_core(pos3, posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
     b, NL, S = pos3.shape
     M = NL * S
     P = sep_c.shape[-1]
-    slot_of = jnp.repeat(jnp.arange(NL, dtype=jnp.int32), S)      # [M]
+    # target cell -> list index, via iota (Mosaic lowers no gathers, so no
+    # jnp.repeat / fancy indexing in anything the Pallas kernel touches)
+    tgt_list = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2) // S
     alpha10 = jnp.int32(200000) * k
     pj = posf[:, None, :]                                        # [b, 1, M]
 
-    def trans_rows(rows):
-        """Transition scores for source cells `rows` -> all cells:
-        int32 [b, S, M], _NEG where invalid.  Computed lazily per DP step
-        so peak memory stays [b, S, M] instead of [b, M, M]."""
+    def trans_rows(l):
+        """Transition scores for source cells of list `l` (static) -> all
+        cells: int32 [b, S, M], _NEG where invalid.  Computed lazily per
+        DP step so peak memory stays [b, S, M] instead of [b, M, M]."""
+        rows = slice(l * S, (l + 1) * S)
         pi = posf[:, rows, None]                                 # [b, S, 1]
         rd = qposf[:, None, :] - qposf[:, rows, None] - k
-        slot_ok = slot_of[None, rows, None] < slot_of[None, None, :]
+        slot_ok = tgt_list > l
         base_ok = (validf[:, rows, None] & validf[:, None, :] & slot_ok
                    & (pj > pi) & (pj <= ub[:, rows, None]))
         # maxIntron rule (chain.cpp:148-150): pair (cell_i, list_j) allowed
@@ -484,7 +487,7 @@ def _chain_dp_core(pos3, posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
     back = jnp.full((b, M), -1, dtype=jnp.int32)
     for l in range(NL - 2, -1, -1):
         rows = slice(l * S, (l + 1) * S)
-        cand = trans_rows(rows) + dp[:, None, :]                 # [b, S, M]
+        cand = trans_rows(l) + dp[:, None, :]                    # [b, S, M]
         bestv = jnp.max(cand, axis=-1)
         besti = jnp.argmax(cand, axis=-1).astype(jnp.int32)
         improve = bestv > dp[:, rows]
