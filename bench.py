@@ -98,11 +98,23 @@ def main():
     cfg = Config(kmer=20, max_read_len=120, threads=0)
 
     import pickle
+    import hashlib
     cache_dir = os.path.expanduser("~/.cache/circminer_tpu")
     os.makedirs(cache_dir, exist_ok=True)
+    # key the setup cache on the sources that produce it, so simulator /
+    # index-builder / annotation changes invalidate stale (g, gi, db)
+    # pickles instead of silently masking regressions in the accuracy gate
+    pkg = os.path.dirname(os.path.abspath(circminer_tpu.__file__))
+    h = hashlib.sha256()
+    for src in ("sim.py", "index/build.py", "annotation/annotation.py",
+                "io/fasta.py"):
+        with open(os.path.join(pkg, src), "rb") as f:
+            h.update(f.read())
+    code_ver = h.hexdigest()[:10]
     cache = os.path.join(
         cache_dir,
-        f"benchsetup_g{genome_len}_n{n_genes}_d{dup_frac}_k{cfg.kmer}.pkl")
+        f"benchsetup_g{genome_len}_n{n_genes}_d{dup_frac}_k{cfg.kmer}"
+        f"_{code_ver}.pkl")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             g, gi, db = pickle.load(f)

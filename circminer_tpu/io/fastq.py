@@ -246,7 +246,18 @@ class RemainWriter:
         s2 = seq2 if seq2 is not None else decode_seq(rec2.seq)
         self.f1.write(f"@{rec1.rname}{comment}\n{s1}\n+\n{rec1.qual}\n")
         self.f2.write(f"@{rec2.rname}{comment}\n{s2}\n+\n{rec2.qual}\n")
-        self.fo.write(f"{getattr(rec1, 'ordinal', self._n)}\n")
+        o = getattr(rec1, "ordinal", None)
+        if o is None:
+            # Multi-host merges tie-break on GLOBAL ordinals; a per-writer
+            # local counter silently corrupts that order — warn once.
+            if self._n == 0:
+                import sys
+                sys.stderr.write(
+                    "[remain] WARNING: record has no global ordinal; "
+                    "falling back to per-writer sequential ordinals "
+                    "(multi-host merge tie order not guaranteed)\n")
+            o = self._n
+        self.fo.write(f"{o}\n")
         self._n += 1
 
     def close(self):
@@ -264,10 +275,24 @@ def iter_remain_pairs(p1: str, p2: str, cfg: Config):
     if os.path.exists(po):
         with open(po) as f:
             ords = [int(x) for x in f]
-        osrc = iter(ords)
+        # A stale/truncated sidecar would silently truncate the pair
+        # stream via zip; chain a counter so exhaustion raises below.
+        osrc = _it.chain(iter(ords), _it.repeat(None))
     else:
+        ords = None
         osrc = _it.count()
+    n = 0
     for (r1, r2), o in zip(zip(FastqReader(p1, cfg), FastqReader(p2, cfg)),
                            osrc):
+        if o is None:
+            raise RuntimeError(
+                f"{po}: .ord sidecar has {len(ords)} lines but the remain "
+                f"FASTQ has more records — stale sidecar? delete it to "
+                f"fall back to sequential ordinals")
         r1.ordinal = o
+        n += 1
         yield r1, r2
+    if ords is not None and n != len(ords):
+        raise RuntimeError(
+            f"{po}: .ord sidecar has {len(ords)} lines but the remain "
+            f"FASTQ has {n} records — stale sidecar?")

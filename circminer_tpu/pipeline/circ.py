@@ -912,8 +912,13 @@ class ProcessCirc:
         if native is None:
             native = ulog.TRACE_LEVEL == 0
         if native:
+            # Materialize ONCE so the Python fallback below sees the same
+            # records if the native engine raises (pairs is usually the
+            # iter_sorted_remain generator, which a failed native attempt
+            # would otherwise exhaust).
+            pairs = list(pairs)
             try:
-                self._run_native(list(pairs))
+                self._run_native(pairs)
                 return
             except Exception as e:  # pragma: no cover - fallback only
                 import sys
