@@ -82,11 +82,11 @@ def _rolling_hash(codes: np.ndarray, k: int) -> np.ndarray:
     m = n - k + 1
     if m <= 0:
         return np.empty(0, dtype=np.int64)
-    x = np.where(codes < 4, codes, 0).astype(np.int64)
+    x = np.where(codes < 4, codes, 0)            # int8; ufunc casts chunked
     h = np.zeros(m, dtype=np.int64)
     for j in range(k):
         h <<= 2
-        h |= x[j: j + m]
+        np.bitwise_or(h, x[j: j + m], out=h)
     return h
 
 
@@ -96,8 +96,9 @@ def _valid_windows(codes: np.ndarray, k: int) -> np.ndarray:
     m = n - k + 1
     if m <= 0:
         return np.empty(0, dtype=bool)
-    is_n = (codes >= 4).astype(np.int32)
-    cs = np.concatenate([[0], np.cumsum(is_n)])
+    is_n = codes >= 4                            # bool; cumsum dtype below
+    cs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(is_n, dtype=np.int32, out=cs[1:])
     return (cs[k:] - cs[:-k]) == 0
 
 
@@ -115,19 +116,27 @@ def build_contig_index(codes: np.ndarray, name: str, cfg: Config) -> ContigIndex
 
     full_hash = _rolling_hash(codes, k)          # k-base big-endian hash
     ok = _valid_windows(codes, k)
-    idx = np.nonzero(ok)[0]
+    # positions fit int32 (packed contig <= 1.1 Gbp < 2^31); converting
+    # immediately halves the live footprint on Gbp-scale contigs
+    idx = np.nonzero(ok)[0].astype(np.int32)
+    del ok
 
     fh = full_hash[idx]
+    del full_hash
+    # fh IS the composite sort key: (hv << 2*cs_len) | checksum, and idx is
+    # already ascending, so ONE stable argsort of fh yields the full
+    # (hv, checksum, pos) order — replaces the 3-key lexsort, which peaked
+    # ~3x higher in transient memory on Gbp contigs
+    order = np.argsort(fh, kind="stable")
+    fh = fh[order]
+    pos = idx[order] + 1                         # 1-based, int32
+    del idx, order
     hv = (fh >> (2 * cs_len)).astype(np.int64)   # 14-bp window hash
     if cs_len > 0:
         cv = (fh & ((1 << (2 * cs_len)) - 1)).astype(np.int16)
     else:
-        cv = np.zeros(len(idx), dtype=np.int16)
-    pos = (idx + 1).astype(np.int32)             # 1-based
-
-    # sort by (hv, checksum, pos); np.lexsort is stable, last key primary
-    order = np.lexsort((pos, cv, hv))
-    hv, cv, pos = hv[order], cv[order], pos[order]
+        cv = np.zeros(len(fh), dtype=np.int16)
+    del fh
 
     return ContigIndex(
         name=name,
@@ -149,10 +158,13 @@ def build_genome_index(contigs: List[np.ndarray], cfg: Config) -> GenomeIndex:
 
 # --- serialization -----------------------------------------------------------
 
-def save_genome_index(gi: GenomeIndex, path: str, compact: bool = False) -> None:
+def save_genome_index(gi: GenomeIndex, path: str, compact: bool = False,
+                      compress: Optional[bool] = None) -> None:
     """Persist index. compact=True stores genome only (entries are rebuilt at
     load time), mirroring the reference's compact index (-m) trade-off
-    (HashTable.c:383-476)."""
+    (HashTable.c:383-476).  compress=None auto-disables zlib above ~2 GB of
+    payload: genome-scale entry tables are near-incompressible and a
+    2-vCPU host spends tens of minutes deflating them for nothing."""
     payload = {
         "magic": np.array(INDEX_MAGIC),
         "window_size": np.array(gi.window_size),
@@ -167,7 +179,11 @@ def save_genome_index(gi: GenomeIndex, path: str, compact: bool = False) -> None
             payload[f"c{i}_hv"] = ci.entry_hv
             payload[f"c{i}_checksum"] = ci.entry_checksum
             payload[f"c{i}_pos"] = ci.entry_pos
-    np.savez_compressed(path, **payload)
+    if compress is None:
+        total = sum(a.nbytes for a in payload.values()
+                    if isinstance(a, np.ndarray))
+        compress = total < 2 << 30
+    (np.savez_compressed if compress else np.savez)(path, **payload)
 
 
 def load_genome_index(path: str) -> GenomeIndex:

@@ -63,7 +63,12 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
 
 
 class GenomePacker:
-    def __init__(self, ref_fname: str, contig_size: int = DEF_CONTIG_SIZE):
+    def __init__(self, ref_fname: str, contig_size: int = None):
+        if contig_size is None:
+            # CIRCMINER_CONTIG_SIZE lets tests/tools exercise the
+            # multi-contig round machinery on small genomes
+            contig_size = int(os.environ.get("CIRCMINER_CONTIG_SIZE",
+                                             DEF_CONTIG_SIZE))
         self.ref_fname = ref_fname
         self.contig_size = contig_size
         self.packed_fname = ref_fname + ".packed.fa"

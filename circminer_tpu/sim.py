@@ -41,14 +41,19 @@ class SimGenome:
     seq: str                     # chromosome sequence (ACGT)
     genes: List[SimGene]
 
-    def write_fasta(self, path: str, width: int = 60):
-        with open(path, "w") as f:
+    def write_fasta(self, path: str, width: int = 60, append: bool = False):
+        with open(path, "a" if append else "w") as f:
             f.write(f">{self.chrom}\n")
+            if width <= 0:
+                # single-line record: Gbp-scale writes skip the 52M-iteration
+                # python wrap loop (read_fasta handles any line length)
+                f.write(self.seq + "\n")
+                return
             for i in range(0, len(self.seq), width):
                 f.write(self.seq[i:i + width] + "\n")
 
-    def write_gtf(self, path: str):
-        with open(path, "w") as f:
+    def write_gtf(self, path: str, append: bool = False):
+        with open(path, "a" if append else "w") as f:
             for g in self.genes:
                 attrs = f'gene_id "{g.gid}";'
                 f.write(f"{self.chrom}\tsim\tgene\t{g.start}\t{g.end}\t.\t"
@@ -70,7 +75,8 @@ def make_genome(rng: np.random.Generator, length: int = 100_000,
                 n_genes: int = 4, exons_per_gene: int = 5,
                 exon_len: Tuple[int, int] = (150, 400),
                 intron_len: Tuple[int, int] = (200, 800),
-                chrom: str = "chr1", dup_frac: float = 0.0) -> SimGenome:
+                chrom: str = "chr1", dup_frac: float = 0.0,
+                gene_prefix: Optional[str] = None) -> SimGenome:
     codes = rng.integers(0, 4, size=length, dtype=np.uint8)
     # segmental duplications for realistic seed multiplicity: copy random
     # 1-5 kb windows over random destinations until ~dup_frac of the genome
@@ -94,13 +100,18 @@ def make_genome(rng: np.random.Generator, length: int = 100_000,
             el = int(rng.integers(*exon_len))
             exons.append((p, p + el - 1))
             p += el + int(rng.integers(*intron_len))
-        gid = f"G{gi + 1}"
+        if gene_prefix is None:
+            gid, t1, t2 = f"G{gi + 1}", f"T{gi + 1}.1", f"T{gi + 1}.2"
+        else:
+            # genome-wide-unique ids for multi-chromosome simulations
+            gid = f"{gene_prefix}{gi + 1}"
+            t1, t2 = f"{gid}.T1", f"{gid}.T2"
         strand = "+" if gi % 2 == 0 else "-"
-        txs = [SimTranscript(f"T{gi + 1}.1", gid, exons)]
+        txs = [SimTranscript(t1, gid, exons)]
         # a second isoform skipping one middle exon
         if exons_per_gene >= 3:
             skip = exons[:1] + exons[2:]
-            txs.append(SimTranscript(f"T{gi + 1}.2", gid, skip))
+            txs.append(SimTranscript(t2, gid, skip))
         genes.append(SimGene(gid, exons[0][0], exons[-1][1], strand, txs))
         pos += gene_gap
         if exons[-1][1] + gene_gap // 2 > length:
@@ -150,7 +161,8 @@ class SimRead:
 def simulate_reads(rng: np.random.Generator, g: SimGenome, n_linear: int,
                    n_circ: int, read_len: int = 100,
                    frag_len: Tuple[int, int] = (150, 350),
-                   err_rate: float = 0.0) -> Tuple[List[SimRead],
+                   err_rate: float = 0.0,
+                   name_prefix: str = "") -> Tuple[List[SimRead],
                                                    List[Tuple[int, int]]]:
     """Simulate PE reads; R2 is the reverse complement mate (FR orientation).
     Circular fragments are drawn from a circularized exon run so a subset of
@@ -171,7 +183,7 @@ def simulate_reads(rng: np.random.Generator, g: SimGenome, n_linear: int,
         r1 = _mutate(rng, frag[:read_len], err_rate)
         r2 = _mutate(rng, decode_seq(revcomp(encode_seq(frag[-read_len:]))),
                      err_rate)
-        reads.append(SimRead(f"L{i}", r1, r2, "linear"))
+        reads.append(SimRead(f"{name_prefix}L{i}", r1, r2, "linear"))
 
     # circles: use exons 1..3 of each gene's first transcript
     circles = []
@@ -209,7 +221,7 @@ def simulate_reads(rng: np.random.Generator, g: SimGenome, n_linear: int,
             in_r1 = margin <= jpos <= read_len - margin
             in_r2 = margin <= jpos - (fl - read_len) <= read_len - margin
             truth = "circ" if (in_r1 or in_r2) else "circ_mid"
-        reads.append(SimRead(f"C{i}", r1, r2, truth,
+        reads.append(SimRead(f"{name_prefix}C{i}", r1, r2, truth,
                              circ_bp=bp if crosses else None))
         if truth == "circ":
             circ_truth.append(bp)
