@@ -219,6 +219,10 @@ def main():
             f"[bench] device-full: {fs['reads']} reads, {fs['deferred']} "
             f"deferred to host ({100.0 * fs['deferred'] / fs['reads']:.1f}%),"
             f" d2h payload 84 B/pair\n")
+        if fs.get("causes"):
+            hist = ", ".join(f"{k}={v}" for k, v in sorted(
+                fs["causes"].items(), key=lambda kv: -kv[1]))
+            sys.stderr.write(f"[bench] defer causes: {hist}\n")
     sys.stderr.write(
         f"[bench] backend={backend} executor={pipe.chain_exec} reads={n} "
         f"genome={genome_len} "

@@ -98,50 +98,42 @@ def extract_kbest_device(dp10, back, pos, qpos, cnt, *, k: int, C: int,
     head_pos_all = wpos[:, :, 0]                                 # [R, T]
 
     # ---- serial emission (repeat suppression is order-dependent) --------
-    # emitted chains add at most C * (NL - 1) non-head fragments, so the
-    # repeat buffer never overflows.  Every loop-carried tensor keeps R in
-    # the LANE (last) dimension — [T, R] / [REP, R] — so the 48 small
-    # iterations hit dense (8,128) tiles instead of 42-wide padding.
-    REP = C * max(1, NL - 1)
+    # The candidate walks are all known BEFORE emission, so the repeat test
+    # collapses to a precomputed collision matrix:
+    #   coll[t', t] = head_pos(t) appears among the NON-HEAD fragments of
+    #                 candidate t'  (chain.cpp:266-270's repeat set, but for
+    #                 every possible emitter at once)
+    # and is_rep(t) = any(emitted & coll[:, t]).  The 48-step serial loop
+    # then carries only an emitted-mask [T, R] and does ONE slice + one
+    # [T, R] reduction per step — no scatters, no [REP, R] repeat buffer.
+    # (The previous repeat-buffer loop cost ~0.9 s of the fused dispatch.)
     sc_T = sc_sorted.T                                           # [T, R]
     hp_T = head_pos_all.T
     wpos_T = jnp.moveaxis(wpos, 1, 0)                            # [T, R, NL]
     wa_T = jnp.moveaxis(wa, 1, 0)
+    coll = jnp.zeros((T, T, R), jnp.bool_)
+    for f in range(1, NL):
+        coll = coll | ((wpos_T[:, None, :, f] == hp_T[None, :, :])
+                       & wa_T[:, None, :, f])
     cn = jnp.zeros((R,), jnp.int32)
-    repeats = jnp.full((REP, R), -1, jnp.int32)
-    rep_n = jnp.zeros((R,), jnp.int32)
-    emit_mask_T = jnp.zeros((T, R), jnp.bool_)
+    emitted = jnp.zeros((T, R), jnp.bool_)
 
     def pick_body(t, carry):
-        cn, repeats, rep_n, emit_mask_T = carry
+        cn, emitted = carry
         msc = jax.lax.dynamic_index_in_dim(sc_T, t, axis=0,
                                            keepdims=False)       # [R]
-        hp = jax.lax.dynamic_index_in_dim(hp_T, t, axis=0,
-                                          keepdims=False)
         has = t < n_valid
-        is_rep = jnp.any(repeats == hp[None, :], axis=0)
+        coll_t = jax.lax.dynamic_index_in_dim(coll, t, axis=1,
+                                              keepdims=False)    # [T, R]
+        is_rep = jnp.any(emitted & coll_t, axis=0)               # [R]
         emit = has & ~((msc < best10) & is_rep) & (cn < C)
-        # append the emitted walk's non-head positions (chain.cpp:266-270)
-        npos = jax.lax.dynamic_index_in_dim(wpos_T, t, axis=0,
-                                            keepdims=False)[:, 1:].T
-        nval = jax.lax.dynamic_index_in_dim(wa_T, t, axis=0,
-                                            keepdims=False)[:, 1:].T
-        add = emit[None, :] & nval                               # [NL-1, R]
-        offs = jnp.cumsum(add.astype(jnp.int32), axis=0) - 1
-        slots = jnp.where(add, rep_n[None, :] + offs, REP)
-        buf = jnp.concatenate([repeats, jnp.zeros((1, R), jnp.int32)],
-                              axis=0)
-        repeats = buf.at[slots, ar[None, :]].set(
-            jnp.where(add, npos, buf[slots, ar[None, :]]))[:REP]
-        rep_n = rep_n + jnp.sum(add.astype(jnp.int32), axis=0)
+        emitted = jax.lax.dynamic_update_slice_in_dim(
+            emitted, emit[None, :], t, axis=0)
         cn = cn + emit.astype(jnp.int32)
-        emit_mask_T = jax.lax.dynamic_update_slice_in_dim(
-            emit_mask_T, emit[None, :], t, axis=0)
-        return cn, repeats, rep_n, emit_mask_T
+        return cn, emitted
 
-    cn, repeats, rep_n, emit_mask_T = jax.lax.fori_loop(
-        0, T, pick_body, (cn, repeats, rep_n, emit_mask_T))
-    emit_mask = emit_mask_T.T                                    # [R, T]
+    cn, emitted = jax.lax.fori_loop(0, T, pick_body, (cn, emitted))
+    emit_mask = emitted.T                                        # [R, T]
 
     # ---- one-shot assembly: slot c <- the c-th emitted pick -------------
     esl = jnp.cumsum(emit_mask.astype(jnp.int32), axis=1) - 1    # [R, T]

@@ -305,6 +305,24 @@ def _extend_core(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
 
 MRF = 20  # field count, layout = ops/filter_native.py MR_FIELDS
 
+# defer-cause bits: the fused step returns an int32 bitmask per read
+# (0 = finished on device); the pipeline histograms them so budget
+# widening targets the causes that actually fire (VERDICT r3 #2)
+DEF_OCC = 1 << 0        # seed occupancy > cap
+DEF_EXTRACT = 1 << 1    # k-best extraction incomplete (> EX_ITERS events)
+DEF_NCHAIN = 1 << 2     # more chains than KB budget
+DEF_OSPOOL = 1 << 3     # one-sided DP pool overflow
+DEF_XDPOOL = 1 << 4     # x-drop DP pool overflow
+DEF_PANNO = 1 << 5      # annotation padding overflow on pair intervals
+DEF_UNION = 1 << 6      # candidate pair count > P_MAX
+DEF_EXTWALK = 1 << 7    # multi-exon extension walk
+DEF_MMANNO = 1 << 8     # annotation padding overflow on final coords
+DEF_SCTIE = 1 << 9      # orientation score tie (f64 hazard)
+DEF_TLENWALK = 1 << 10  # calc_tlen walk > W_MAX intervals
+
+DEFER_CAUSES = ["occ", "extract", "nchain", "ospool", "xdpool", "panno",
+                "union", "extwalk", "mmanno", "sctie", "tlenwalk"]
+
 
 def _mm_ed(mm):
     return mm["led"] + mm["med"] + mm["red"]
@@ -532,8 +550,10 @@ def _phase1(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
     lens4 = lens.reshape(B, 4)
     seqsf = seqs.reshape(-1)    # [4B * L]
 
-    defer = inc.reshape(B, 4).any(axis=1)        # extraction incomplete
-    defer = defer | (cn4 > KB).any(axis=1)       # more chains than budget
+    # defer is an int32 CAUSE BITMASK (see DEFER_CAUSES); nonzero ->
+    # the read replays on the host path
+    defer = (DEF_EXTRACT * inc.reshape(B, 4).any(axis=1)
+             | DEF_NCHAIN * (cn4 > KB).any(axis=1)).astype(jnp.int32)
 
     # ---- chain-level geometry ----------------------------------------
     ci = jnp.arange(KB1)[None, None, :]
@@ -598,7 +618,7 @@ def _phase1(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
     # one_side pool
     os_active = g_need.reshape(-1)
     os_inv, os_n, os_over = _compact(os_active, OS_POOL)
-    defer = defer | os_over.reshape(B, -1).any(axis=1)
+    defer = defer | DEF_OSPOOL * os_over.reshape(B, -1).any(axis=1)
 
     def flat_g(x):
         return x.reshape(-1)[os_inv]
@@ -652,7 +672,7 @@ def _phase1(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
 
     xd_active = xa.reshape(-1)
     xd_inv, xd_n, xd_over = _compact(xd_active, XD_POOL)
-    defer = defer | xd_over.reshape(B, -1).any(axis=1)
+    defer = defer | DEF_XDPOOL * xd_over.reshape(B, -1).any(axis=1)
 
     def flat_x(x):
         return x.reshape(-1)[xd_inv]
@@ -818,13 +838,13 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB):
                         | (fa.iv_nseg_true[fc_] > ad.seg_end.shape[1])))
         | ((r_iv >= 0) & ((fa.iv_ntid[rc_] > fa.iv_tids.shape[1])
                           | (fa.iv_nseg_true[rc_] > ad.seg_end.shape[1]))))
-    defer = defer | over_anno.reshape(B, -1).any(axis=1)
+    defer = defer | DEF_PANNO * over_anno.reshape(B, -1).any(axis=1)
 
     # rank union pairs in (i, j) row-major order -> P_MAX slots
     uflat = union.reshape(B, 2, KB1 * KB1)
     rank = jnp.cumsum(uflat.astype(jnp.int32), axis=-1) - 1
     n_union = uflat.sum(axis=-1)                              # [B, 2]
-    defer = defer | (n_union > P_MAX).any(axis=1)
+    defer = defer | DEF_UNION * (n_union > P_MAX).any(axis=1)
     slot_of = jnp.where(uflat & (rank < P_MAX), rank, P_MAX)
     # inverse: pair slot -> grid cell
     cell_ids = jnp.broadcast_to(
@@ -939,7 +959,7 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB):
     lerr = lerr1 + l_br["ed"]
     pair_live = pvalid & success
     defer_p = pair_live & (dfa | dfb | dfc | dfd)
-    defer = defer | defer_p.reshape(B, -1).any(axis=1)
+    defer = defer | DEF_EXTWALK * defer_p.reshape(B, -1).any(axis=1)
 
     def mk_mm(mc, mid, bl, br, lok, rok, err, dirv):
         seq_len = mc["seq_len"]
@@ -993,7 +1013,8 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB):
             ((iv_s >= 0) & (fa.iv_nseg_true[NIVc] > ad.seg_end.shape[1]))
             | ((iv_e >= 0) & (fa.iv_nseg_true[jnp.clip(iv_e, 0, NIV - 1)]
                               > ad.seg_end.shape[1])))
-        defer = defer | (over & pvalid).reshape(B, -1).any(axis=1)
+        defer = defer | DEF_MMANNO * ((over & pvalid)
+                                      .reshape(B, -1).any(axis=1))
 
     st2 = dict(pvalid=pvalid, same_tr=p_same_tr, sgf=p_sgf, sgr=p_sgr,
                tlen_g=p_tlen, fiv=p_fiv, riv=p_riv, fwd_left=fwd_left,
@@ -1016,9 +1037,12 @@ def _update_rule(mr, sm, lm, chr_idx, shift, tlen, jun, gm, type_, r1_sm,
     return mr2
 
 
-def _conc_expl(mr, ad, fa, sm, lm, chr_idx, shift, r1_sm, mp_type, mask,
-               *, max_tlen, contig_num, W_MAX):
-    """concordant_explanation (utils.cpp:157-213)."""
+def _conc_expl(mr, sm, lm, pre, chr_idx, shift, r1_sm, mp_type, mask,
+               *, max_tlen, contig_num):
+    """concordant_explanation (utils.cpp:157-213).  The pair-pure pieces
+    (same-exon test, the calc_tlen transcript walk) are precomputed over
+    ALL pairs at once (`_pair_precompute`) and arrive as columns in `pre`
+    — the sequential fold only applies mr-dependent selects."""
     ok0 = mask & (sm["spos"] <= lm["spos"])
     on_cdna = ((sm["iv_s"] >= 0) & (sm["iv_e"] >= 0) & (lm["iv_s"] >= 0)
                & (lm["iv_e"] >= 0))
@@ -1030,7 +1054,7 @@ def _conc_expl(mr, ad, fa, sm, lm, chr_idx, shift, r1_sm, mp_type, mask,
     u1a = ok0 & b1_no & ((tlen_a <= max_tlen) | (tlen_a <= MAXDISCRDTLEN))
     mr = _update_rule(mr, sm, lm, chr_idx, shift, tlen_a, zero, fb, CONGNM,
                       r1_sm, contig_num, u1a)
-    se = _same_exon(ad, fa, sm["iv_s"], lm["iv_s"])
+    se = pre["se"]
     tlen_b = lm["spos"] + lm["mlen"] - sm["spos"]
     typ_b = jnp.where(mp_type == 0, CONCRD, CONGEN)
     u1b = ok0 & ~b1_no & se
@@ -1042,9 +1066,7 @@ def _conc_expl(mr, ad, fa, sm, lm, chr_idx, shift, r1_sm, mp_type, mask,
     u2a = ok0 & b2_no & ((tlen_a <= max_tlen) | (tlen_a <= MAXDISCRDTLEN))
     mr = _update_rule(mr, sm, lm, chr_idx, shift, tlen_a, zero, fb, CONGNM,
                       r1_sm, contig_num, u2a)
-    tl, inn, df = _calc_tlen(ad, fa, sm["iv_e"], sm["ind_e"], sm["epos"],
-                             sm["mlen"], lm["iv_s"], lm["ind_s"],
-                             lm["spos"], lm["mlen"], W_MAX=W_MAX)
+    tl, inn, df = pre["ct_tl"], pre["ct_inn"], pre["ct_df"]
     u2b = ok0 & ~b2_no
     defer = u2b & df
     good = (tl >= 0) & (tl <= max_tlen)
@@ -1072,48 +1094,69 @@ def _lariat(ad, fa, sm, lm):
     return ok & (gap <= LARIAT2BEGTH)
 
 
-def _check_chimeric(mr, ad, fa, sm, lm, chr_idx, shift, r1_sm, mask,
+def _check_chimeric(mr, sm, lm, pre, chr_idx, shift, r1_sm, mask,
                     *, contig_num):
     ok = mask & (mr["type"] != CONCRD) & (sm["iv_s"] >= 0) \
-        & (lm["iv_s"] >= 0) \
-        & _same_gene_iv(ad, fa, sm["iv_s"], lm["iv_s"]) \
-        & (sm["spos"] < lm["spos"])
+        & (lm["iv_s"] >= 0) & pre["sg_iv"] & (sm["spos"] < lm["spos"])
     tl = lm["epos"] - sm["spos"] + 1
     z = jnp.zeros_like(tl)
     return _update_rule(mr, sm, lm, chr_idx, shift, tl, z,
                         jnp.zeros_like(ok), CHIORF, r1_sm, contig_num, ok)
 
 
-def _check_bsj(mr, ad, fa, sm, lm, chr_idx, shift, r1_sm, mask,
+def _check_bsj(mr, sm, lm, pre, chr_idx, shift, r1_sm, mask,
                *, contig_num):
     ok = mask & (mr["type"] != CONCRD) & (mr["type"] != DISCRD) \
         & sm["r_ok"] & lm["l_ok"]
-    ivnull = (sm["iv_s"] < 0) | (lm["iv_s"] < 0)
-    gm_hit = _same_gene_mm(ad, fa, sm, lm) | _same_gene_mm(ad, fa, lm, sm)
-    hit = jnp.where(ivnull, gm_hit | _lariat(ad, fa, sm, lm),
-                    _same_gene_iv(ad, fa, sm["iv_s"], lm["iv_s"]))
     tl = lm["epos"] - sm["spos"] + 1
     z = jnp.zeros_like(tl)
     return _update_rule(mr, sm, lm, chr_idx, shift, tl, z,
                         jnp.zeros_like(ok), CHIBSJ, r1_sm, contig_num,
-                        ok & hit)
+                        ok & pre["bsj_hit"])
 
 
-def _check_2bsj(mr, ad, fa, sm, lm, chr_idx, shift, r1_sm, mask,
+def _check_2bsj(mr, sm, lm, pre, chr_idx, shift, r1_sm, mask,
                 *, contig_num):
     ok = mask & (mr["type"] >= CHI2BSJ) & (sm["spos"] <= lm["spos"])
     ok = ok & ~(sm["r_ok"] & lm["r_ok"] & (sm["spos"] != lm["spos"]))
     ok = ok & ~(sm["l_ok"] & lm["l_ok"] & (sm["epos"] != lm["epos"]))
     ok = ok & ~(sm["l_ok"] & lm["r_ok"])
-    ivnull = (sm["iv_s"] < 0) | (lm["iv_s"] < 0)
-    gm_hit = _same_gene_mm(ad, fa, sm, lm) | _same_gene_mm(ad, fa, lm, sm)
-    hit = jnp.where(ivnull, gm_hit | _lariat(ad, fa, sm, lm),
-                    _same_gene_iv(ad, fa, sm["iv_s"], lm["iv_s"]))
     tl = lm["epos"] - sm["spos"] + 1
     z = jnp.zeros_like(tl)
     return _update_rule(mr, sm, lm, chr_idx, shift, tl, z,
                         jnp.zeros_like(ok), CHI2BSJ, r1_sm, contig_num,
-                        ok & hit)
+                        ok & pre["bsj_hit"])
+
+
+def _pair_precompute(ad, fa, lmm, rmm, *, W_MAX):
+    """Everything the decision rules need that is PAIR-PURE (independent of
+    the running mr state), computed over all [B, 2, P_MAX] pairs in one
+    vectorized pass.  Hoisting this out of the sequential pair fold removes
+    the fold's gathers and — critically — the calc_tlen transcript walk
+    (fori ST x fori W_MAX), which used to run serially once per pair per
+    orientation (~2 x P_MAX x ST x W_MAX tiny device steps)."""
+    sm, lm = lmm, rmm
+    pre = {}
+    pre["se"] = _same_exon(ad, fa, sm["iv_s"], lm["iv_s"])
+    sg_iv = _same_gene_iv(ad, fa, sm["iv_s"], lm["iv_s"])
+    pre["sg_iv"] = sg_iv
+    ivnull = (sm["iv_s"] < 0) | (lm["iv_s"] < 0)
+    gm_hit = _same_gene_mm(ad, fa, sm, lm) | _same_gene_mm(ad, fa, lm, sm)
+    pre["bsj_hit"] = jnp.where(ivnull, gm_hit | _lariat(ad, fa, sm, lm),
+                               sg_iv)
+    shp = sm["iv_s"].shape
+
+    def fl(x):
+        return x.reshape(-1)
+
+    tl, inn, df = _calc_tlen(ad, fa, fl(sm["iv_e"]), fl(sm["ind_e"]),
+                             fl(sm["epos"]), fl(sm["mlen"]),
+                             fl(lm["iv_s"]), fl(lm["ind_s"]),
+                             fl(lm["spos"]), fl(lm["mlen"]), W_MAX=W_MAX)
+    pre["ct_tl"] = tl.reshape(shp)
+    pre["ct_inn"] = inn.reshape(shp)
+    pre["ct_df"] = df.reshape(shp)
+    return pre
 
 
 # --------------------------------------------------------------------------
@@ -1205,8 +1248,8 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
     sc_best = jnp.where(cn4 > 0, st["sc4"][..., 0], 0)     # [B, 4]
     sA = sc_best[:, 0] + sc_best[:, 3]
     sB = sc_best[:, 2] + sc_best[:, 1]
-    defer = defer | (~done_read & (sA == sB)
-                     & ((cn_r1 > 0) & (cn_r2 > 0)))  # f64 tie hazard
+    defer = defer | DEF_SCTIE * (~done_read & (sA == sB)
+                                 & ((cn_r1 > 0) & (cn_r2 > 0)))  # f64 tie
     first_A = sA >= sB
 
     def at_o(arr, o_idx):
@@ -1215,7 +1258,11 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
         return jnp.take_along_axis(arr, ix, axis=1)[:, 0]
 
     stopped = jnp.zeros((B,), jnp.bool_)
-    ar = jnp.arange(B)
+    # pair-pure relations + calc_tlen over ALL [B, 2, P] pairs in one pass
+    pre_all = _pair_precompute(ad, fa, lmm, rmm, W_MAX=W_MAX)
+    # fields of the mate bundles the fold actually consumes
+    MM_USED = ("spos", "epos", "qspos", "qepos", "mlen", "led", "med",
+               "red", "dir", "tfinal", "iv_s", "iv_e", "l_ok", "r_ok")
     for t in (0, 1):
         o_t = jnp.where(first_A, t, 1 - t).astype(jnp.int32)
         r1_fwd_flag = o_t == 0
@@ -1231,8 +1278,6 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
         riv = at_o(st2["riv"], o_t)
         fl = at_o(fwd_left, o_t)
         succ_o = at_o(success, o_t)
-        lmm_o = {kk: at_o(v, o_t) for kk, v in lmm.items()}
-        rmm_o = {kk: at_o(v, o_t) for kk, v in rmm.items()}
 
         # exact pair gate (filter.cpp:485-551) with this saved_type
         if scan_level == 0:
@@ -1246,13 +1291,26 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
             (tlg <= MAXDISCRDTLEN) & (saved >= CONGNM)[:, None])
         mp_type = jnp.where(same_tr, 0, jnp.where(same_gen, 1, 2))
 
-        chr_idx = _bisect_le(fa.shift_bounds, lmm_o["spos"])
+        lmm_o = at_o(lmm["spos"], o_t)
+        chr_idx = _bisect_le(fa.shift_bounds, lmm_o)
         chr_idx = jnp.clip(chr_idx, 0, fa.shift_vals.shape[0] - 1)
         shift = fa.shift_vals[chr_idx]
         r1_sm = jnp.where(fl, r1_fwd_flag[:, None],
                           ~r1_fwd_flag[:, None])
 
-        mm_keys = sorted(lmm_o.keys())
+        # transpose every per-pair tensor to [P, B] so the fold reads pair
+        # p with ONE dynamic slice per tensor (lane-major, no gathers)
+        lmm_T = {kk: at_o(lmm[kk], o_t).T for kk in MM_USED}
+        rmm_T = {kk: at_o(rmm[kk], o_t).T for kk in MM_USED}
+        pre_T = {kk: at_o(v, o_t).T for kk, v in pre_all.items()}
+        fl_T = fl.T
+        pv_T = pv.T
+        gate_T = gate.T
+        mp_T = mp_type.T
+        succ_T = succ_o.T
+        chr_T = chr_idx.T
+        sh_T = shift.T
+        rs_T = r1_sm.T
         mr_keys = keys
 
         def pair_body(p, carry):
@@ -1260,14 +1318,15 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
             mr = dict(zip(mr_keys, mr_t))
 
             def col(v):
-                return jnp.take_along_axis(
-                    v, jnp.full((B, 1), p, jnp.int32), axis=1)[:, 0]
+                return jax.lax.dynamic_index_in_dim(v, p, axis=0,
+                                                    keepdims=False)
 
-            lm_p = {kk: col(lmm_o[kk]) for kk in mm_keys}
-            rm_p = {kk: col(rmm_o[kk]) for kk in mm_keys}
-            flp = col(fl)
-            pact = col(pv) & col(gate) & live & ~stopped
-            succ = pact & col(succ_o)
+            lm_p = {kk: col(lmm_T[kk]) for kk in MM_USED}
+            rm_p = {kk: col(rmm_T[kk]) for kk in MM_USED}
+            pre_p = {kk: col(v) for kk, v in pre_T.items()}
+            flp = col(fl_T)
+            pact = col(pv_T) & col(gate_T) & live & ~stopped
+            succ = pact & col(succ_T)
             r1t = jnp.where(flp, lm_p["tfinal"], rm_p["tfinal"])
             r2t = jnp.where(flp, rm_p["tfinal"], lm_p["tfinal"])
             cc = succ & flp & (r1t == CONCRD) & (r2t == CONCRD)
@@ -1275,19 +1334,19 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
                             | ((r1t == CONCRD) & (r2t == CANDID)))
             b2_m = succ & (r1t == CANDID) & (r2t == CANDID)
             chim = succ & ~flp & (r1t == CONCRD) & (r2t == CONCRD)
-            ch_p, sh_p = col(chr_idx), col(shift)
-            rs_p = col(r1_sm)
+            ch_p, sh_p = col(chr_T), col(sh_T)
+            rs_p = col(rs_T)
             mr, df_ce = _conc_expl(
-                mr, ad, fa, lm_p, rm_p, ch_p, sh_p, rs_p, col(mp_type),
-                cc, max_tlen=max_tlen, contig_num=contig_num, W_MAX=W_MAX)
+                mr, lm_p, rm_p, pre_p, ch_p, sh_p, rs_p, col(mp_T),
+                cc, max_tlen=max_tlen, contig_num=contig_num)
             defer_o = defer_o | (cc & df_ce)
             stopped = stopped | (cc & (mr["type"] == CONCRD)
                                  & (scan_level == 0))
-            mr = _check_chimeric(mr, ad, fa, lm_p, rm_p, ch_p, sh_p, rs_p,
+            mr = _check_chimeric(mr, lm_p, rm_p, pre_p, ch_p, sh_p, rs_p,
                                  chim, contig_num=contig_num)
-            mr = _check_bsj(mr, ad, fa, lm_p, rm_p, ch_p, sh_p, rs_p,
+            mr = _check_bsj(mr, lm_p, rm_p, pre_p, ch_p, sh_p, rs_p,
                             bsj_m, contig_num=contig_num)
-            mr = _check_2bsj(mr, ad, fa, lm_p, rm_p, ch_p, sh_p, rs_p,
+            mr = _check_2bsj(mr, lm_p, rm_p, pre_p, ch_p, sh_p, rs_p,
                              b2_m, contig_num=contig_num)
             min1 = jnp.where(pact, jnp.minimum(min1, r1t), min1)
             min2 = jnp.where(pact, jnp.minimum(min2, r2t), min2)
@@ -1310,7 +1369,7 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
         (mr_t, stopped, min1, min2, r1g, r2g, defer_o) = jax.lax.fori_loop(
             0, P_MAX, pair_body, carry0)
         mr = dict(zip(mr_keys, mr_t))
-        defer = defer | defer_o
+        defer = defer | DEF_TLENWALK * defer_o
 
         # ---- leftover single-chain extension (filter.cpp:356-394) ----
         top5 = mr["type"] <= CHI2BSJ
@@ -1426,6 +1485,6 @@ def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
         max_tlen=max_tlen, scan_level=scan_level, contig_num=contig_num,
         KB=KB, P_MAX=P_MAX, W_MAX=W_MAX, OS_POOL=OS_POOL, XD_POOL=XD_POOL,
         mat=mat, mis=mis, ind=ind, xd=xd)
-    defer = defer | occ_defer
+    defer = defer | DEF_OCC * occ_defer
     return jnp.concatenate([mr_out, defer[:, None].astype(jnp.int32)],
                            axis=1)

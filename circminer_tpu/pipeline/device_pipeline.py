@@ -372,7 +372,15 @@ class DeviceMappingPipeline:
         with T.phase("full_fetch"):
             cf["fetch_thread"].join()
             blob = cf["fetch_holder"]["arr"]          # [B, MRF+1] int32
-        defer = blob[:n, -1] != 0
+        dbits = blob[:n, -1]
+        defer = dbits != 0
+        # per-cause histogram (a read may carry several cause bits)
+        from ..ops.device_full import DEFER_CAUSES
+        causes = self.full_stats.setdefault("causes", {})
+        for i, name in enumerate(DEFER_CAUSES):
+            c = int(((dbits >> i) & 1).sum())
+            if c:
+                causes[name] = causes.get(name, 0) + c
         mr_state = blob[:n, :-1].astype(np.int64)
         with T.phase("full_writeback"):
             for i, (r1, _) in enumerate(recs):
