@@ -1166,13 +1166,19 @@ def _pair_precompute(ad, fa, lmm, rmm, *, W_MAX):
 def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
                        genome, ad, fa, *, k, max_ed, max_sc, band,
                        max_tlen, scan_level, contig_num, KB, P_MAX, W_MAX,
-                       OS_POOL, XD_POOL, mat, mis, ind, xd, I=128):
-    """See module docstring.  Returns (mr_out int32 [B, MRF], defer [B])."""
+                       OS_POOL, XD_POOL, mat, mis, ind, xd, I=128,
+                       upto="full"):
+    """See module docstring.  Returns (mr_out int32 [B, MRF], defer [B]).
+    upto in ("phase1", "lo", "phase2", "pre", "full") cuts the program for
+    the on-chip micro-bisection (tools/bisect_device_full.py)."""
     st = _phase1(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in, genome,
                  ad, fa, k=k, max_ed=max_ed, max_sc=max_sc, band=band,
                  KB=KB, OS_POOL=OS_POOL, XD_POOL=XD_POOL, mat=mat, mis=mis,
                  ind=ind, xd=xd, I=I)
     B, KB1, NL = st["B"], st["KB1"], st["NL"]
+    if upto == "phase1":
+        return {kk: v for kk, v in st.items()
+                if isinstance(v, jnp.ndarray)}, st["defer"]
 
     # ---- leftover chain-level extends (extend.cpp:131-213) -----------
     def chain_dp(side, var):
@@ -1208,9 +1214,15 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
     lo_ive, _ = _overlap_ind(ad, fa, lo_ep)
     lo_genic = (lo_ivs >= 0) | (lo_ive >= 0)
 
+    if upto == "lo":
+        return dict(lo_ret=lo_ret, lo_sp=lo_sp, lo_ep=lo_ep,
+                    lo_genic=lo_genic), st["defer"]
     st2 = _phase2(st, ad, fa, k=k, max_ed=max_ed, max_sc=max_sc, band=band,
                   P_MAX=P_MAX, KB=KB)
     defer = st2["defer"]
+    if upto == "phase2":
+        return {kk: v for kk, v in st2.items()
+                if isinstance(v, jnp.ndarray)}, defer
     lmm, rmm = st2["lmm"], st2["rmm"]
     success = st2["success"]
     fwd_left = st2["fwd_left"]
@@ -1260,6 +1272,8 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
     stopped = jnp.zeros((B,), jnp.bool_)
     # pair-pure relations + calc_tlen over ALL [B, 2, P] pairs in one pass
     pre_all = _pair_precompute(ad, fa, lmm, rmm, W_MAX=W_MAX)
+    if upto == "pre":
+        return pre_all, defer
     # fields of the mate bundles the fold actually consumes
     MM_USED = ("spos", "epos", "qspos", "qepos", "mlen", "led", "med",
                "red", "dir", "tfinal", "iv_s", "iv_e", "l_ok", "r_ok")

@@ -110,10 +110,14 @@ def _bisect_hv_cv(entry_hv: jnp.ndarray, entry_cv: jnp.ndarray,
     fit int32 (2*kmer bits > 31), so each probe compares the pair.  Replaces
     the dense bucket_start gather (which cost 1 GiB of host RAM per contig
     to build — see index/build.py docstring).
-    """
+
+    side_right may be a bool OR a broadcastable bool array (per-row side
+    flags let one loop serve the left and right searches together)."""
     n = entry_hv.shape[0]
     lo = jnp.zeros_like(hv)
     hi = jnp.full_like(hv, n)
+    if not isinstance(side_right, (bool, np.bool_)):
+        side_right = jnp.broadcast_to(side_right, hv.shape)
 
     def body(_, state):
         lo_, hi_ = state
@@ -121,10 +125,14 @@ def _bisect_hv_cv(entry_hv: jnp.ndarray, entry_cv: jnp.ndarray,
         midc = jnp.clip(mid, 0, n - 1)
         hv_e = entry_hv[midc]
         cv_e = entry_cv[midc].astype(jnp.int32)
-        if side_right:
-            go_right = (hv_e < hv) | ((hv_e == hv) & (cv_e <= cv))
+        if isinstance(side_right, (bool, np.bool_)):
+            if side_right:
+                go_right = (hv_e < hv) | ((hv_e == hv) & (cv_e <= cv))
+            else:
+                go_right = (hv_e < hv) | ((hv_e == hv) & (cv_e < cv))
         else:
-            go_right = (hv_e < hv) | ((hv_e == hv) & (cv_e < cv))
+            tie = jnp.where(side_right, cv_e <= cv, cv_e < cv)
+            go_right = (hv_e < hv) | ((hv_e == hv) & tie)
         active = lo_ < hi_
         lo2 = jnp.where(active & go_right, mid + 1, lo_)
         hi2 = jnp.where(active & ~go_right, mid, hi_)
@@ -193,10 +201,18 @@ def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
 
     n_entries = entry_hv.shape[0]
     iters = max(1, int(np.ceil(np.log2(max(2, n_entries + 1)))) + 1)
-    left = _bisect_hv_cv(entry_hv, entry_checksum, hv_safe, cv,
-                         side_right=False, iters=iters)
-    right = _bisect_hv_cv(entry_hv, entry_checksum, hv_safe, cv,
-                          side_right=True, iters=iters)
+    # lane-major [2*NL, B] probe layout: B rides the 128-lane axis (a
+    # [B, NL=6] probe tensor wastes 95% of every vreg), and the left/right
+    # searches share ONE bisect loop via a per-row side flag — halving the
+    # serial step count
+    NLn = hv_safe.shape[1]
+    hv2 = jnp.concatenate([hv_safe.T, hv_safe.T], axis=0)   # [2NL, B]
+    cv2 = jnp.concatenate([cv.T, cv.T], axis=0)
+    right_f = (jnp.arange(2 * NLn, dtype=jnp.int32) >= NLn)[:, None]
+    both = _bisect_hv_cv(entry_hv, entry_checksum, hv2, cv2,
+                         side_right=right_f, iters=iters)
+    left = both[:NLn].T
+    right = both[NLn:].T
 
     cnt = (right - left).astype(jnp.int32)
     cnt = jnp.where(ok, cnt, 0)
