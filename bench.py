@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--dump-events", default=None, metavar="PATH",
                     help="write called + true event coordinates (JSON) for "
                          "offline FP/FN analysis")
+    ap.add_argument("--sweep-ed", default=None, metavar="LO..HI",
+                    help="run the whole map+call once per max edit distance "
+                         "e in LO..HI (BASELINE config 3, the reference's "
+                         "-e knob, commandline_parser.cpp:7-26); prints one "
+                         "JSON line per e plus the standard line for the "
+                         "default e=4")
     ap.add_argument("--exec", dest="chain_exec", default="auto",
                     choices=["auto", "device", "device-chain", "native",
                              "wave", "device-full"],
@@ -146,14 +152,12 @@ def main():
     reads, truth = simulate_reads(rng_reads, g, n_reads - n_circ, n_circ,
                                   read_len=100, err_rate=args.err_rate)
 
-    def make_pair(r):
+    def make_pair(r, med):
         s1, s2 = encode_seq(r.r1), encode_seq(r.r2)
         return (ReadRecord(r.name, s1, revcomp(s1), "I" * len(r.r1),
-                           len(r.r1), MatchedRead.default(cfg.max_ed)),
+                           len(r.r1), MatchedRead.default(med)),
                 ReadRecord(r.name, s2, revcomp(s2), "I" * len(r.r2),
                            len(r.r2), None))
-
-    pairs = [make_pair(r) for r in reads]
 
     # the 1M-pair read set keeps ~3.5M numpy objects alive; CPython's
     # cyclic GC full-collects over them at arbitrary points (seconds of
@@ -161,6 +165,57 @@ def main():
     # is refcount-managed, so the collector is pure overhead.
     import gc
     gc.disable()
+
+    if args.sweep_ed:
+        # BASELINE config 3: the same dataset through every operating
+        # point e=LO..HI; one JSON line per e
+        lo, hi = (int(x) for x in args.sweep_ed.split(".."))
+        for e in range(lo, hi + 1):
+            cfg_e = Config(**{**cfg.__dict__, "max_ed": e}).validate()
+            pairs_e = [make_pair(r, e) for r in reads]
+            pipe = DeviceMappingPipeline(db, gi, cfg_e,
+                                         batch_size=args.batch,
+                                         chain_exec=args.chain_exec
+                                         if args.chain_exec != "wave"
+                                         else "auto")
+            pipe.warmup()
+            t0 = time.time()
+            n = pipe.map_stream(iter(pairs_e))
+            map_s = time.time() - t0
+            t0 = time.time()
+            bsj = [(r1, r2) for r1, r2 in pairs_e
+                   if r1.mr.type in (CHIBSJ, CHI2BSJ)]
+            for r1, _ in bsj:
+                r1.mr.genome_spos = r1.mr.spos_r1
+            bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
+            pc = ProcessCirc(db, gi, cfg_e,
+                             os.path.join("/tmp", f"bench_ed{e}"))
+            pc.run(bsj)
+            circ_s = time.time() - t0
+            called = sorted({(c.spos, c.epos) for c in pc.circ_res})
+            truth_set = set(truth)
+            rps = n / (map_s + circ_s)
+            print(json.dumps({
+                "metric": "pe_reads_per_sec_chip_map_call",
+                "max_ed": e,
+                "value": round(rps, 2),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+                "n_pairs": n,
+                "conc": sum(1 for r1, _ in pairs_e
+                            if r1.mr.type == CONCRD),
+                "bsj_reads": len(bsj),
+                "events": len(called),
+                "true_events": len(truth),
+                "events_matched": sum(1 for ev in called
+                                      if ev in truth_set),
+                "phases": {"map_s": round(map_s, 2),
+                           "circ_s": round(circ_s, 2)},
+            }))
+            del pairs_e, pipe, pc
+        return
+
+    pairs = [make_pair(r, cfg.max_ed) for r in reads]
 
     extend_exec = "device" if args.chain_exec == "wave" else "native"
     chain_exec = "auto" if args.chain_exec == "wave" else args.chain_exec

@@ -456,68 +456,70 @@ def _same_exon(ad, fa, iv_a, iv_b):
 def _calc_tlen(ad, fa, sm_iv_e, sm_ind_e, sm_epos, sm_mlen,
                lm_iv_s, lm_ind_s, lm_spos, lm_mlen, *, W_MAX: int):
     """utils.cpp:53-113 over [B] vectors.  Returns (tlen, intron_num,
-    defer) — defer when a walk exceeds W_MAX intervals."""
+    defer) — defer when a walk exceeds W_MAX intervals.
+
+    Fully vectorized lane-major: all ST candidate transcripts and all
+    W_MAX walk steps evaluate in one [ST, W_MAX, B] pass (the fori x fori
+    formulation ran ST*W_MAX = 256 serial gather steps per call).  The
+    first-transcript-wins minimum is reproduced with a first-occurrence
+    argmin (strict < in the sequential fold keeps the earliest tt)."""
     NIV = ad.iv_spos.shape[0]
     ST = fa.iv_tids.shape[1]
+    NT = fa.trans_start.shape[0]
+    NS = fa.t2s_state.shape[0]
     ivc = jnp.clip(sm_iv_e, 0, NIV - 1)
-    tids = fa.iv_tids[ivc]                                # [B, ST]
-    B = sm_iv_e.shape[0]
-    min_tlen = jnp.full((B,), INF, jnp.int32)
-    best_in = jnp.zeros((B,), jnp.int32)
-    defer = (sm_iv_e >= 0) & (fa.iv_ntid[ivc] > ST)
+    tids_T = fa.iv_tids[ivc].T                            # [ST, B]
+    defer0 = (sm_iv_e >= 0) & (fa.iv_ntid[ivc] > ST)
 
-    def tid_body(tt, carry):
-        min_tlen, best_in, defer = carry
-        tid = tids[:, tt]
-        tc = jnp.clip(tid, 0, fa.trans_start.shape[0] - 1)
-        act = (sm_iv_e >= 0) & (tid >= 0)
-        start_ind = fa.trans_start[tc]
-        start_ti = sm_ind_e - start_ind
-        t2s_len = fa.t2s_off[tc + 1] - fa.t2s_off[tc]
-        end_ti = lm_ind_s - start_ind
-        st_end = jnp.where(
-            (end_ti >= 0) & (end_ti < t2s_len),
-            fa.t2s_state[jnp.clip(fa.t2s_off[tc] + end_ti, 0,
-                                  fa.t2s_state.shape[0] - 1)], 0)
-        act = act & (start_ti >= 0) & (lm_ind_s >= start_ind) \
-            & (end_ti < t2s_len) & (st_end != 0)
-        same_iv = start_ti == end_ti
-        tl_same = lm_spos - sm_epos + 1
-        # walk start_ti+1 .. end_ti-1 (bounded)
-        nsteps = end_ti - start_ti - 1
-        defer = defer | (act & ~same_iv & (nsteps > W_MAX))
+    tc = jnp.clip(tids_T, 0, NT - 1)
+    act = (sm_iv_e[None, :] >= 0) & (tids_T >= 0)
+    start_ind = fa.trans_start[tc]                        # [ST, B]
+    start_ti = sm_ind_e[None, :] - start_ind
+    off = fa.t2s_off[tc]
+    t2s_len = fa.t2s_off[tc + 1] - off
+    end_ti = lm_ind_s[None, :] - start_ind
+    st_end = jnp.where((end_ti >= 0) & (end_ti < t2s_len),
+                       fa.t2s_state[jnp.clip(off + end_ti, 0, NS - 1)], 0)
+    act = act & (start_ti >= 0) & (lm_ind_s[None, :] >= start_ind) \
+        & (end_ti < t2s_len) & (st_end != 0)
+    same_iv = start_ti == end_ti
+    tl_same = (lm_spos - sm_epos + 1)[None, :]
+    nsteps = end_ti - start_ti - 1
+    defer = defer0 | jnp.any(act & ~same_iv & (nsteps > W_MAX), axis=0)
 
-        def kk_body(kk, wc):
-            tl, inn, prez = wc
-            on = act & ~same_iv & (kk < nsteps)
-            this_iv = jnp.clip(sm_ind_e + 1 + kk, 0, NIV - 1)
-            row = start_ti + 1 + kk
-            stt = jnp.where(
-                on & (row >= 0) & (row < t2s_len),
-                fa.t2s_state[jnp.clip(fa.t2s_off[tc] + row, 0,
-                                      fa.t2s_state.shape[0] - 1)], 0)
-            has = on & (stt != 0)
-            tl = jnp.where(has, tl + ad.iv_epos[this_iv]
-                           - ad.iv_spos[this_iv] + 1, tl)
-            inn = jnp.where(on & (stt == 0) & ~prez, inn + 1, inn)
-            prez = jnp.where(on, stt == 0, prez)
-            return tl, inn, prez
+    # the walk start_ti+1 .. end_ti-1 over [ST, W_MAX, B]; the visited
+    # interval (and its length) depends only on kk, not on the transcript
+    kk3 = jnp.arange(W_MAX, dtype=jnp.int32)[None, :, None]
+    this_iv = jnp.clip(sm_ind_e[None, :] + 1
+                       + kk3[0], 0, NIV - 1)              # [W, B]
+    ivlen = ad.iv_epos[this_iv] - ad.iv_spos[this_iv] + 1
+    on = act[:, None, :] & ~same_iv[:, None, :] & (kk3 < nsteps[:, None, :])
+    row = start_ti[:, None, :] + 1 + kk3
+    ok_row = on & (row >= 0) & (row < t2s_len[:, None, :])
+    stt = jnp.where(ok_row,
+                    fa.t2s_state[jnp.clip(off[:, None, :] + row, 0,
+                                          NS - 1)], 0)    # [ST, W, B]
+    has = on & (stt != 0)
+    tl_walk = jnp.sum(jnp.where(has, ivlen[None, :, :], 0), axis=1)
+    # intron count = number of zero-state runs in the active prefix
+    z = on & (stt == 0)
+    zprev = jnp.concatenate([jnp.zeros_like(z[:, :1, :]), z[:, :-1, :]],
+                            axis=1)
+    inn = jnp.sum((z & ~zprev).astype(jnp.int32), axis=1)  # [ST, B]
 
-        tl0 = ad.iv_epos[ivc] - sm_epos + 1
-        tl, inn, _ = jax.lax.fori_loop(
-            0, W_MAX, kk_body,
-            (tl0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.bool_)))
-        lmc = jnp.clip(lm_iv_s, 0, NIV - 1)
-        tl = tl + lm_spos - ad.iv_spos[lmc] + 1
-        tlen_t = jnp.where(same_iv, tl_same, tl)
-        inn_t = jnp.where(same_iv, 0, inn)
-        better = act & (tlen_t < min_tlen)
-        min_tlen = jnp.where(better, tlen_t, min_tlen)
-        best_in = jnp.where(better, inn_t, best_in)
-        return min_tlen, best_in, defer
+    tl0 = (ad.iv_epos[ivc] - sm_epos + 1)[None, :]
+    lmc = jnp.clip(lm_iv_s, 0, NIV - 1)
+    tl = tl0 + tl_walk + (lm_spos - ad.iv_spos[lmc] + 1)[None, :]
+    tlen_t = jnp.where(same_iv, tl_same, tl)
+    inn_t = jnp.where(same_iv, 0, inn)
 
-    min_tlen, best_in, defer = jax.lax.fori_loop(
-        0, ST, tid_body, (min_tlen, best_in, defer))
+    big = jnp.where(act, tlen_t, INF)
+    min_tlen = jnp.min(big, axis=0)                       # [B]
+    hit = act & (tlen_t == min_tlen[None, :]) & (min_tlen[None, :] < INF)
+    iota_t = jnp.arange(ST, dtype=jnp.int32)[:, None]
+    first = jnp.min(jnp.where(hit, iota_t, ST), axis=0)   # [B]
+    best_in = jnp.sum(jnp.where(iota_t == first[None, :], inn_t, 0),
+                      axis=0)
     found = min_tlen < INF
     tlen = jnp.where(found, min_tlen + sm_mlen - 1 + lm_mlen - 1, -1)
     return tlen, best_in, defer

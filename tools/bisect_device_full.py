@@ -198,7 +198,9 @@ def main():
     results = {}
     for name in want:
         fn = stage_fns[name]
-        a = (seqs_d, lens_d, mr_d) if name == "full" else (seqs_d, lens_d)
+        a = ((seqs_d, lens_d, mr_d)
+             if name == "full" or name.startswith("f_")
+             else (seqs_d, lens_d))
         t0 = time.time()
         np.asarray(fn(*a))          # compile + first fetch
         t_compile = time.time() - t0
