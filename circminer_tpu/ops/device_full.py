@@ -1458,13 +1458,15 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
                           "max_ed", "max_sc", "band", "max_tlen",
                           "max_intron", "seg_pad", "scan_level",
                           "contig_num", "KB", "P_MAX", "W_MAX", "OS_POOL",
-                          "XD_POOL", "EX_ITERS", "mat", "mis", "ind", "xd"))
+                          "XD_POOL", "EX_ITERS", "mat", "mis", "ind", "xd",
+                          "prefix_shift", "prefix_iters"))
 def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
-                     entry_pos, genome, ad, fa, *,
+                     entry_pos, genome, ad, fa, entry_prefix=None, *,
                      k, cs_len, n_slots, seed_lim, cap, max_ed, max_sc,
                      band, max_tlen, max_intron, seg_pad, scan_level,
                      contig_num, KB, P_MAX, W_MAX, OS_POOL, XD_POOL,
-                     EX_ITERS, mat, mis, ind, xd):
+                     EX_ITERS, mat, mis, ind, xd,
+                     prefix_shift=0, prefix_iters=0):
     """THE fused dispatch: lookup -> gather -> chain DP -> k-best ->
     pairing -> extension -> category lattice.  One d2h payload:
     int32 [B, MRF + 1] = final MatchedRead state | defer bit."""
@@ -1476,8 +1478,9 @@ def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
     B = R4 // 4
     NL = (L + k - 1) // k
     qpos_all, start, cnt, high = lookup_batch_device(
-        seqs, lens, entry_hv, entry_checksum, k=k, cs_len=cs_len,
-        n_slots=n_slots, seed_lim=seed_lim)
+        seqs, lens, entry_hv, entry_checksum, entry_prefix, k=k,
+        cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim,
+        prefix_shift=prefix_shift, prefix_iters=prefix_iters)
     start_e = start[:, ::2]
     cnt_e = cnt[:, ::2]
     hh_row = jnp.sum(high[:, ::2].astype(jnp.int32), axis=1)

@@ -104,7 +104,9 @@ def _bisect(keys: jnp.ndarray, target: jnp.ndarray, lo: jnp.ndarray,
 
 def _bisect_hv_cv(entry_hv: jnp.ndarray, entry_cv: jnp.ndarray,
                   hv: jnp.ndarray, cv: jnp.ndarray,
-                  side_right: bool, iters: int) -> jnp.ndarray:
+                  side_right: bool, iters: int,
+                  lo0: jnp.ndarray = None,
+                  hi0: jnp.ndarray = None) -> jnp.ndarray:
     """Composite binary search for (hv, cv) over the full sorted entry
     table.  Entries are sorted by (hv, checksum); the composite key does not
     fit int32 (2*kmer bits > 31), so each probe compares the pair.  Replaces
@@ -112,10 +114,16 @@ def _bisect_hv_cv(entry_hv: jnp.ndarray, entry_cv: jnp.ndarray,
     to build — see index/build.py docstring).
 
     side_right may be a bool OR a broadcastable bool array (per-row side
-    flags let one loop serve the left and right searches together)."""
+    flags let one loop serve the left and right searches together).
+    lo0/hi0 optionally restrict each probe's search range (radix-prefix
+    bucket bounds)."""
     n = entry_hv.shape[0]
-    lo = jnp.zeros_like(hv)
-    hi = jnp.full_like(hv, n)
+    if lo0 is not None:
+        lo = jnp.broadcast_to(lo0, hv.shape)
+        hi = jnp.broadcast_to(hi0, hv.shape)
+    else:
+        lo = jnp.zeros_like(hv)
+        hi = jnp.full_like(hv, n)
     if not isinstance(side_right, (bool, np.bool_)):
         side_right = jnp.broadcast_to(side_right, hv.shape)
 
@@ -187,14 +195,42 @@ def _kmer_hash_parts(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
     return hv, cv, ok, qpos, starts
 
 
-@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim"))
+def build_device_prefix(entry_hv, window_size: int):
+    """Host-side construction of the device radix-prefix table: a
+    4^p + 1 offset array over the top 2p bits of the window hash (the
+    device twin of NativeSeeder's radix table; p capped at 12 -> <=67 MB
+    HBM).  Returns (prefix int32[4^p + 1], shift, iters) where iters is
+    the static bisect depth covering the largest bucket."""
+    n = int(entry_hv.shape[0])
+    if n == 0:
+        return None, 0, 1
+    p = min(12, max(1, int(np.ceil(np.log2(max(2, n)) / 2))))
+    shift = 2 * window_size - 2 * p
+    q = (np.asarray(entry_hv) >> shift).astype(np.int64)
+    counts = np.bincount(q, minlength=1 << (2 * p))
+    prefix = np.zeros(counts.shape[0] + 1, np.int32)
+    np.cumsum(counts, out=prefix[1:])
+    iters = int(np.ceil(np.log2(int(counts.max()) + 1))) + 1
+    return prefix, shift, iters
+
+
+@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim",
+                                   "prefix_shift", "prefix_iters"))
 def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
                         entry_hv: jnp.ndarray, entry_checksum: jnp.ndarray,
-                        *, k: int, cs_len: int, n_slots: int, seed_lim: int):
+                        entry_prefix: jnp.ndarray = None,
+                        *, k: int, cs_len: int, n_slots: int, seed_lim: int,
+                        prefix_shift: int = 0, prefix_iters: int = 0):
     """Batched seed lookup: [B, L] int8 reads -> per-slot (start, count, hh).
 
     Only even slots are populated (odd slots are the reference's reserved
     overlapping-kmer slots and stay empty).
+
+    entry_prefix (optional, from ``build_device_prefix``) is an hv-prefix
+    offset table that narrows each composite bisect to its ~1-entry prefix
+    bucket — the device twin of the host radix lookup (HW_NOTES round 3):
+    2 gathers replace ~14 of the ~18 full-table bisect steps, which
+    dominate the lookup's on-chip time.
     """
     B, L = read_codes.shape
     n_nonov = (n_slots + 1) // 2
@@ -204,7 +240,6 @@ def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
     hv_safe = jnp.where(ok, hv, -1)
 
     n_entries = entry_hv.shape[0]
-    iters = max(1, int(np.ceil(np.log2(max(2, n_entries + 1)))) + 1)
     # lane-major [2*NL, B] probe layout: B rides the 128-lane axis (a
     # [B, NL=6] probe tensor wastes 95% of every vreg), and the left/right
     # searches share ONE bisect loop via a per-row side flag — halving the
@@ -213,8 +248,20 @@ def lookup_batch_device(read_codes: jnp.ndarray, read_lens: jnp.ndarray,
     hv2 = jnp.concatenate([hv_safe.T, hv_safe.T], axis=0)   # [2NL, B]
     cv2 = jnp.concatenate([cv.T, cv.T], axis=0)
     right_f = (jnp.arange(2 * NLn, dtype=jnp.int32) >= NLn)[:, None]
-    both = _bisect_hv_cv(entry_hv, entry_checksum, hv2, cv2,
-                         side_right=right_f, iters=iters)
+    if entry_prefix is not None:
+        iters = max(1, prefix_iters)
+        np_ = entry_prefix.shape[0] - 1
+        q = jnp.clip(jnp.where(hv2 >= 0, hv2 >> prefix_shift, 0), 0,
+                     np_ - 1)
+        lo0 = entry_prefix[q]
+        hi0 = entry_prefix[q + 1]
+        both = _bisect_hv_cv(entry_hv, entry_checksum, hv2, cv2,
+                             side_right=right_f, iters=iters,
+                             lo0=lo0, hi0=hi0)
+    else:
+        iters = max(1, int(np.ceil(np.log2(max(2, n_entries + 1)))) + 1)
+        both = _bisect_hv_cv(entry_hv, entry_checksum, hv2, cv2,
+                             side_right=right_f, iters=iters)
     left = both[:NLn].T
     right = both[NLn:].T
 

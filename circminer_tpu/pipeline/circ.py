@@ -208,6 +208,9 @@ class ProcessCirc:
                                       seed_lists, self.cfg, self.db,
                                       self.contig, kmer=w, shift=shift)
         qpos_list = qpos_arr
+        if ulog.TRACE_LEVEL >= 1 and chains:  # process_circ.cpp:714
+            ulog.vaf(1, "Chaining score:%.4f,\t len: %d",
+                     chains[0].score, len(chains))
         # keep the prefix of chains with non-increasing missed-kmer count
         # (process_circ.cpp:716-736)
         kmer_cnt = len(qpos_list)
@@ -219,6 +222,12 @@ class ProcessCirc:
                 break
             least_miss = missing
             kept.append(ch)
+            if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:717-733
+                ulog.vaf(2, "Actual missing: %d", missing)
+                for i, fr in enumerate(ch.frags):
+                    ulog.vaf(1, "#%d\tfrag[%d]: %d\t%d\t%d",
+                             len(kept) - 1, i, fr.rpos - shift, fr.qpos,
+                             fr.flen)
         return kept
 
     # --- exact coordinates for a candidate chain (process_circ.cpp:739-789)
@@ -670,6 +679,15 @@ class ProcessCirc:
 
     # --- per-read entry points (process_circ.cpp:334-645) ---
     def call_circ(self, rec1: ReadRecord, rec2: ReadRecord):
+        if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:346-347
+            from ..ops.encode import decode_seq
+            mr = rec1.mr
+            ulog.vaf(2, "%s\n%s", decode_seq(rec1.seq),
+                     decode_seq(rec2.seq))
+            ulog.vaf(2, "%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d",
+                     rec1.rname, mr.chr_r1, mr.spos_r1, mr.epos_r1,
+                     mr.mlen_r1, mr.spos_r2, mr.epos_r2, mr.mlen_r2,
+                     mr.tlen, mr.type)
         self.fullmap_seq = self.remain_seq = None
         self.r1_seq = self.r2_seq = None
         self.fullmap_seq_len = self.remain_seq_len = 0
@@ -725,12 +743,22 @@ class ProcessCirc:
         remain_len = qepos - qspos + 1
         if qepos < qspos or remain_len < self.window_size:
             return
+        if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:421-422
+            from ..ops.encode import decode_seq
+            ulog.vaf(2, "R%d partial: [%d-%d]", 1 if r1_partial else 2,
+                     qspos, qepos)
+            ulog.vaf(2, "%s", decode_seq(remain))
         gene_iv = self.db.gene_overlap(self.contig, mm_r1.spos)
         if gene_iv is None:
+            ulog.vaf(2, "Gene not found!")  # process_circ.cpp:403
             return
         ca = self.db.contigs[self.contig]
         best_cr = CircRes(type=NF)
         h_remain = kmer_hashes(remain, self.window_size)
+        if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:406
+            ulog.vaf(2, "# Gene overlaps: %d",
+                     int(ca.gv_seg_off[gene_iv + 1])
+                     - int(ca.gv_seg_off[gene_iv]))
         for e in range(int(ca.gv_seg_off[gene_iv]),
                        int(ca.gv_seg_off[gene_iv + 1])):
             gs = int(ca.gv_gene_start[e])
@@ -751,6 +779,10 @@ class ProcessCirc:
                     continue
                 con_shift = get_shift(self.db.con2chr, self.contig,
                                       mm_r1.spos)
+                if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:441
+                    ulog.vaf(2, "Coordinates: [%d-%d]",
+                             partial_mm.spos - con_shift.shift,
+                             partial_mm.epos - con_shift.shift)
                 cr = CircRes()
                 typ = self.check_split_map_single(mm_r1, mm_r2, partial_mm,
                                                   r1_partial, cr)
@@ -778,6 +810,7 @@ class ProcessCirc:
                      best_cr.type, best_cr.spos, best_cr.epos)
 
     def call_circ_double_split(self, rec1: ReadRecord, rec2: ReadRecord):
+        ulog.vaf(2, "Double split read...")  # process_circ.cpp:487
         cfg = self.cfg
         mr = self._conloc(rec1.mr)
         r1_remain = rec1.seq if mr.r1_forward else rec1.rcseq

@@ -52,11 +52,16 @@ class ContigDeviceState:
     entry_hv: Optional[jnp.ndarray] = None      # device-resident index
     entry_checksum: Optional[jnp.ndarray] = None
     entry_pos: Optional[jnp.ndarray] = None
+    entry_prefix: Optional[jnp.ndarray] = None  # radix-prefix offsets
+    prefix_shift: int = 0
+    prefix_iters: int = 1
 
 
-@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim"))
-def _lookup_even(reads, lens, entry_hv, entry_checksum,
-                 *, k, cs_len, n_slots, seed_lim):
+@partial(jax.jit, static_argnames=("k", "cs_len", "n_slots", "seed_lim",
+                                   "prefix_shift", "prefix_iters"))
+def _lookup_even(reads, lens, entry_hv, entry_checksum, entry_prefix,
+                 *, k, cs_len, n_slots, seed_lim, prefix_shift,
+                 prefix_iters):
     """Device seed lookup; returns ONE 2-D int32 [B, 2*NL + 1] tensor
     (start | cnt | high-hit count) over the even (non-overlapping) k-mer
     slots.  qpos is NOT fetched — it is deterministic from the read length
@@ -66,8 +71,9 @@ def _lookup_even(reads, lens, entry_hv, entry_checksum,
     per fetch regardless of size below ~1 MB and degrades unpredictably on
     large or oddly-shaped buffers (see HW_NOTES.md measurements)."""
     qpos, start, cnt, high = lookup_batch_device(
-        reads, lens, entry_hv, entry_checksum,
-        k=k, cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim)
+        reads, lens, entry_hv, entry_checksum, entry_prefix,
+        k=k, cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim,
+        prefix_shift=prefix_shift, prefix_iters=prefix_iters)
     hh = jnp.sum(high[:, ::2].astype(jnp.int32), axis=1)
     return jnp.concatenate([start[:, ::2], cnt[:, ::2], hh[:, None]], axis=1)
 
@@ -198,6 +204,11 @@ class DeviceMappingPipeline:
                 st.entry_checksum = jnp.asarray(
                     ci.entry_checksum.astype(np.int32))
                 st.entry_pos = jnp.asarray(ci.entry_pos)
+                from ..ops.seed import build_device_prefix
+                pref, st.prefix_shift, st.prefix_iters = \
+                    build_device_prefix(ci.entry_hv, cfg.window_size)
+                st.entry_prefix = (jnp.asarray(pref) if pref is not None
+                                   else None)
             self.states.append(st)
             self.mappers.append(Mapper(db, c, ci.codes, cfg, seeder=None))
             if chain_exec in ("native", "device", "auto", "device-full"):
@@ -267,9 +278,11 @@ class DeviceMappingPipeline:
             with T.phase("lookup_dispatch"):
                 packed = _lookup_even(
                     jnp.asarray(seqs), jnp.asarray(lens),
-                    st.entry_hv, st.entry_checksum,
+                    st.entry_hv, st.entry_checksum, st.entry_prefix,
                     k=cfg.kmer, cs_len=cfg.checksum_len,
-                    n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
+                    n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim,
+                    prefix_shift=st.prefix_shift,
+                    prefix_iters=st.prefix_iters)
             # fetch in the background so the (tunnel-bound) d2h transfer
             # overlaps the host chain/filter work of the previous batch
             import threading
@@ -350,7 +363,9 @@ class DeviceMappingPipeline:
                 jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(mr_in),
                 st.entry_hv, st.entry_checksum, st.entry_pos,
                 self.full_genome[contig], st.anno, self.full_anno[contig],
-                contig_num=contig, **self._full_statics())
+                st.entry_prefix, contig_num=contig,
+                prefix_shift=st.prefix_shift,
+                prefix_iters=st.prefix_iters, **self._full_statics())
         import threading
         holder = {}
 
@@ -954,8 +969,10 @@ class DeviceMappingPipeline:
         cfg = self.cfg
         packed = _lookup_even(
             reads0, lens0, st.entry_hv, st.entry_checksum,
+            st.entry_prefix,
             k=cfg.kmer, cs_len=cfg.checksum_len,
-            n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim)
+            n_slots=cfg.max_seg_cnt, seed_lim=cfg.seed_lim,
+            prefix_shift=st.prefix_shift, prefix_iters=st.prefix_iters)
         return np.asarray(packed)
 
     # ---- executor auto-selection (fast: small probes + decision cache) ----

@@ -272,6 +272,12 @@ class TransExtension:
         seq_remain = min(exon_len + self.cfg.band_width, qseq_len)
         ed, indel, score = yield ("end_r", qseq[:seq_remain], ref_seq)
         new_rmpos = pos + exon_len
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:451-453
+            from ..ops.encode import decode_seq
+            ulog.vaf(2, "rmpos: %d\textend len: %d\tindel: %d\t"
+                     "edit dist: %d", new_rmpos, exon_len, -indel, ed)
+            ulog.vaf(2, "str beg str:  %s\nread beg str: %s",
+                     decode_seq(ref_seq), decode_seq(qseq[:seq_remain]))
         exon_res = AlignRes(new_rmpos)
         exon_res.set(new_rmpos, ed, 0, -indel, exon_len - indel, score)
         if curr.ed + ed <= ed_th:
@@ -282,12 +288,22 @@ class TransExtension:
 
     def _extend_right_end_g(self, pos, ref_len, qseq, qseq_len, ed_th,
                             best, curr, max_ed, max_sc):
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:466
+            ulog.vaf(2, "Final Right Ext Going for %d - %d",
+                     pos + 1, pos + ref_len)
         ref_seq = self.genome.get(pos + 1, ref_len)
         if ref_seq is None:
             return None
         ed, sclen, indel, score = yield (self._sc_kind(True), ref_seq,
                                          qseq[:qseq_len])
         new_rmpos = pos + qseq_len - indel
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:477-479
+            from ..ops.encode import decode_seq
+            ulog.vaf(2, "rmpos: %d\textend len: %d\tindel: %d\t"
+                     "edit dist: %d\tsclen: %d", new_rmpos, qseq_len,
+                     indel, ed, sclen)
+            ulog.vaf(2, "str beg str:  %s\nread beg str: %s",
+                     decode_seq(ref_seq), decode_seq(qseq[:qseq_len]))
         exon_res = AlignRes(new_rmpos)
         exon_res.set(new_rmpos, ed, sclen, indel, qseq_len, score)
         actual_mapped = qseq_len - sclen
@@ -306,6 +322,12 @@ class TransExtension:
             return False, None
         ed, indel, score = yield ("end_l", qseq_part, ref_seq)
         new_lmpos = pos - exon_len
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:669-671
+            from ..ops.encode import decode_seq
+            ulog.vaf(2, "lmpos: %d\textend len: %d\tindel: %d\t"
+                     "edit dist: %d", new_lmpos, exon_len, -indel, ed)
+            ulog.vaf(2, "str beg str:  %s\nread beg str: %s",
+                     decode_seq(ref_seq), decode_seq(qseq_part))
         exon_res = AlignRes(new_lmpos)
         exon_res.set(new_lmpos, ed, 0, -indel, exon_len - indel, score)
         if curr.ed + ed <= ed_th:
@@ -316,12 +338,22 @@ class TransExtension:
 
     def _extend_left_end_g(self, pos, ref_len, qseq, qseq_len, ed_th,
                            best, curr, max_ed, max_sc):
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:684
+            ulog.vaf(2, "Final Left Ext Going for %d - %d",
+                     pos - ref_len, pos - 1)
         ref_seq = self.genome.get(pos - ref_len, ref_len)
         if ref_seq is None:
             return None
         ed, sclen, indel, score = yield (self._sc_kind(False), ref_seq,
                                          qseq[:qseq_len])
         new_lmpos = pos - qseq_len + indel
+        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:695-697
+            from ..ops.encode import decode_seq
+            ulog.vaf(2, "lmpos: %d\textend len: %d\tindel: %d\t"
+                     "edit dist: %d\tsclen: %d", new_lmpos, qseq_len,
+                     indel, ed, sclen)
+            ulog.vaf(2, "str beg str:  %s\nread beg str: %s",
+                     decode_seq(ref_seq), decode_seq(qseq[:qseq_len]))
         exon_res = AlignRes(new_lmpos)
         exon_res.set(new_lmpos, ed, sclen, indel, qseq_len, score)
         actual_mapped = qseq_len - sclen
@@ -363,6 +395,13 @@ class TransExtension:
                     key = (rspos, exon_len, covered, remain_q)
                     hit = align_res.get(key)
                     if hit is not None:
+                        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:548-549
+                            ulog.vaf(2, "[Found] Middle Right Ext Going "
+                                     "for %d - %d", rspos + 1,
+                                     rspos + exon_len)
+                            ulog.vaf(2, "rmpos: %d\textend len: %d\t"
+                                     "indel: %d\tedit dist: %d", hit.pos,
+                                     exon_len, hit.indel, hit.ed)
                         if curr.ed + hit.ed > ed_th:
                             return consecutive
                         curr.update(hit.ed, hit.sclen, hit.pos, hit.indel,
@@ -416,6 +455,12 @@ class TransExtension:
         key = (rspos, remain_ref_len, covered, qseq_len - covered)
         hit = align_res.get(key)
         if hit is not None:
+            if ulog.TRACE_LEVEL >= 2:  # extend.cpp:632-633
+                ulog.vaf(2, "[Found] Final Right Ext Going for %d - %d",
+                         rspos + 1, rspos + remain_ref_len)
+                ulog.vaf(2, "rmpos: %d\textend len: %d\tindel: %d\t"
+                         "edit dist: %d\tsclen: %d", hit.pos,
+                         hit.qcovlen, hit.indel, hit.ed, hit.sclen)
             actual_mapped = hit.qcovlen - hit.sclen
             if (curr.ed + hit.ed > ed_th or hit.sclen > cfg.max_sc
                     or actual_mapped < hit.sclen):
@@ -472,6 +517,13 @@ class TransExtension:
                     key = (lepos, exon_len, covered, remain_q)
                     hit = align_res.get(key)
                     if hit is not None:
+                        if ulog.TRACE_LEVEL >= 2:  # extend.cpp:782-783
+                            ulog.vaf(2, "[Found] Middle Left Ext Going "
+                                     "for %d - %d", lepos - exon_len,
+                                     lepos - 1)
+                            ulog.vaf(2, "lmpos: %d\textend len: %d\t"
+                                     "indel: %d\tedit dist: %d", hit.pos,
+                                     exon_len, hit.indel, hit.ed)
                         if curr.ed + hit.ed > ed_th:
                             return consecutive
                         curr.update(hit.ed, hit.sclen, hit.pos, hit.indel,
@@ -523,6 +575,12 @@ class TransExtension:
         key = (lepos, remain_ref_len, covered, qseq_len - covered)
         hit = align_res.get(key)
         if hit is not None:
+            if ulog.TRACE_LEVEL >= 2:  # extend.cpp:858-859
+                ulog.vaf(2, "[Found] Final Left Ext Going for %d - %d",
+                         lepos - remain_ref_len, lepos - 1)
+                ulog.vaf(2, "lmpos: %d\textend len: %d\tindel: %d\t"
+                         "edit dist: %d\tsclen: %d", hit.pos,
+                         hit.qcovlen, hit.indel, hit.ed, hit.sclen)
             actual_mapped = hit.qcovlen - hit.sclen
             if (curr.ed + hit.ed > ed_th or hit.sclen > cfg.max_sc
                     or actual_mapped < hit.sclen):

@@ -109,9 +109,10 @@ def main():
 
     def front(seqs, lens, upto):
         qpos_all, start, cnt, high = lookup_batch_device(
-            seqs, lens, st.entry_hv, st.entry_checksum, k=k,
-            cs_len=statics["cs_len"], n_slots=statics["n_slots"],
-            seed_lim=statics["seed_lim"])
+            seqs, lens, st.entry_hv, st.entry_checksum, st.entry_prefix,
+            k=k, cs_len=statics["cs_len"], n_slots=statics["n_slots"],
+            seed_lim=statics["seed_lim"], prefix_shift=st.prefix_shift,
+            prefix_iters=st.prefix_iters)
         start_e = start[:, ::2]
         cnt_e = cnt[:, ::2]
         hh_row = jnp.sum(high[:, ::2].astype(jnp.int32), axis=1)
@@ -150,20 +151,24 @@ def main():
     def full(seqs, lens, mr):
         out = device_full_step(
             seqs, lens, mr, st.entry_hv, st.entry_checksum, st.entry_pos,
-            genome, ad, fa, contig_num=0, **full_kwargs)
+            genome, ad, fa, st.entry_prefix, contig_num=0,
+            prefix_shift=st.prefix_shift, prefix_iters=st.prefix_iters,
+            **full_kwargs)
         return jnp.sum(out).reshape(1, 1)
 
     stage_fns["full"] = jax.jit(full)
 
     # cumulative finish-stage programs: front -> finish(upto=...)
     fin_statics = {kk: v for kk, v in statics.items()
-                   if kk not in ("cs_len", "n_slots", "seed_lim", "cap")}
+                   if kk not in ("cs_len", "n_slots", "seed_lim", "cap",
+                                 "max_intron", "seg_pad")}
 
     def fin(seqs, lens, mr, upto):
         qpos_all, start, cnt, high = lookup_batch_device(
-            seqs, lens, st.entry_hv, st.entry_checksum, k=k,
-            cs_len=statics["cs_len"], n_slots=statics["n_slots"],
-            seed_lim=statics["seed_lim"])
+            seqs, lens, st.entry_hv, st.entry_checksum, st.entry_prefix,
+            k=k, cs_len=statics["cs_len"], n_slots=statics["n_slots"],
+            seed_lim=statics["seed_lim"], prefix_shift=st.prefix_shift,
+            prefix_iters=st.prefix_iters)
         start_e = start[:, ::2]
         cnt_e = cnt[:, ::2]
         hh_row = jnp.sum(high[:, ::2].astype(jnp.int32), axis=1)
