@@ -942,7 +942,12 @@ class DeviceMappingPipeline:
                     n_total = count
                 if nxt is not None:
                     nxt.close()
-                    src = read_pairs(nxt.p1, nxt.p2, cfg)
+                    # iter_remain_pairs re-attaches the ORIGINAL global
+                    # pair ordinal from the .ord sidecar, so reads carried
+                    # across contig rounds keep the tie-order key the
+                    # multi-host circ merge depends on
+                    from ..io.fastq import iter_remain_pairs
+                    src = iter_remain_pairs(nxt.p1, nxt.p2, cfg)
         finally:
             if own_tmp:
                 shutil.rmtree(tmpdir, ignore_errors=True)
