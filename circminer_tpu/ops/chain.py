@@ -240,12 +240,115 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
                          seg_end, seg_next, k=k, max_ed=max_ed,
                          seg_pad=seg_pad)
     posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c = pre
-    dpl, bkl = _chain_dp_core(pos, posf, qposf, validf, ub, mee, e1,
-                              sep_c, snp_c, pv_c, k=k, max_ed=max_ed,
-                              max_intron=max_intron)
-    dp = jnp.stack(dpl, axis=1)                                  # [B, NL, S]
-    back = jnp.stack(bkl, axis=1)
+    dpl, bkl = _chain_dp_core_lanes(posf, qposf, validf, ub, mee, e1,
+                                    sep_c, snp_c, pv_c, NL=NL, S=S, k=k,
+                                    max_ed=max_ed, max_intron=max_intron)
+    dp = jnp.stack(dpl, axis=0).transpose(2, 0, 1)               # [B, NL, S]
+    back = jnp.stack(bkl, axis=0).transpose(2, 0, 1)
     return dp, back
+
+
+def _chain_dp_core_lanes(posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
+                         pv_c, *, NL: int, S: int, k: int, max_ed: int,
+                         max_intron: int):
+    """Lane-major formulation of _chain_dp_core: every tensor carries the
+    batch dimension b in the MINOR (128-lane) axis — [S, b], [S, S, b],
+    [S, P, b] — so the [b, S, S] transition blocks stop padding their
+    16-wide minor dim to 128 lanes (an 8x inflation of both HBM traffic
+    and VPU work; the round-4 on-chip bisection measured the row-major
+    core at ~0.18 s/65536-row batch).  Bit-identical transition semantics;
+    pinned by the same oracle tests as chain_batch_device.
+
+    Returns (dpl, bkl): per-list [S, b] score / flat-backpointer pieces.
+    """
+    b = posf.shape[0]
+    P = sep_c.shape[-1]
+    alpha10 = jnp.int32(200000) * k
+
+    pos_T = posf.T                                   # [M, b]
+    v_T = validf.T
+    ub_T = ub.T
+    mee_T = mee.T
+    e1_T = e1.T
+    sep_T = jnp.moveaxis(sep_c, 0, -1)               # [M, P, b]
+    snp_T = jnp.moveaxis(snp_c, 0, -1)
+    pv_T = jnp.moveaxis(pv_c, 0, -1)
+
+    def seg(a, l):
+        return a[l * S:(l + 1) * S]
+
+    dpl = [jnp.where(seg(v_T, l), jnp.int32(10 * k), _NEG)
+           for l in range(NL)]
+    bkl = [jnp.full((S, b), -1, dtype=jnp.int32) for l in range(NL)]
+
+    for l in range(NL - 2, -1, -1):
+        pi = seg(pos_T, l)[:, None, :]               # [S, 1, b]
+        ub_l = seg(ub_T, l)[:, None, :]
+        mee_l = seg(mee_T, l)[:, None, :]
+        e1_l = seg(e1_T, l)[:, None, :]
+        v_l = seg(v_T, l)[:, None, :]
+        sep_l = seg(sep_T, l)                        # [S, P, b]
+        snp_l = seg(snp_T, l)
+        pv_l = seg(pv_T, l)
+        # qpos is per-list constant across its S cells
+        qp_l = qposf[:, l * S][None, None, :]        # [1, 1, b]
+
+        best_v = jnp.full((S, b), _NEG, dtype=jnp.int32)
+        best_i = jnp.full((S, b), -1, dtype=jnp.int32)
+        for j in range(l + 1, NL):
+            pjv = seg(pos_T, j)[None, :, :]          # [1, St, b]
+            v_j = seg(v_T, j)[None, :, :]
+            qp_j = qposf[:, j * S][None, None, :]
+            rd = qp_j - qp_l - k                     # [1, 1, b]
+            # maxIntron rule (chain.cpp:148-150)
+            minpos = jnp.min(jnp.where(pjv > pi, pjv,
+                                       jnp.int32(2**31 - 1)),
+                             axis=1, keepdims=True)  # [S, 1, b]
+            base = (v_l & (minpos <= pi + max_intron) & v_j
+                    & (pjv > pi) & (pjv <= ub_l))    # [S, St, b]
+            ge_allowed = (mee_l == 0) | ((pjv + k - 1) <= mee_l)
+            gd = pjv - pi - k
+            g_ok = ge_allowed & (jnp.abs(gd - rd) <= max_ed)
+
+            # junction gate (chain.cpp:28-64) over the pre-gathered segs
+            jn_ok = jnp.zeros((S, S, b), dtype=jnp.bool_)
+            jn_dist = jnp.zeros((S, S, b), jnp.int32)
+            intron_any = jn_ok
+            for p in range(P):
+                sep3 = sep_l[:, p:p + 1, :]          # [S, 1, b]
+                snp3 = snp_l[:, p:p + 1, :]
+                pv3 = pv_l[:, p:p + 1, :]
+                e12end3 = sep3 - e1_l
+                beg2s2 = pjv - snp3                  # [S, St, b]
+                td = e12end3 + beg2s2
+                acc = (pv3 & (e12end3 >= 0)) & (beg2s2 >= 0) & \
+                      (jnp.abs(td - rd) <= max_ed)
+                jn_dist = jnp.where(~jn_ok & acc, td, jn_dist)
+                jn_ok = jn_ok | acc
+                intron_any = intron_any | (
+                    (pv3 & (e12end3 >= 0))
+                    & (e12end3 < rd) & ((beg2s2 + k) < 0))
+            j_ok = (pjv > e1_l) & (jn_ok | intron_any)
+            j_dist = jnp.where(jn_ok, jn_dist, pjv - e1_l - 1)
+            ok = base & (g_ok | j_ok)
+            distt = jnp.where(g_ok, gd, j_dist)
+            sc = jnp.where(ok, alpha10 - jnp.abs(distt - rd), _NEG)
+
+            cand = sc + dpl[j][None, :, :]           # [S, St, b]
+            cv = jnp.max(cand, axis=1)               # [S, b]
+            # first-max index among equal maxima (earliest flat index)
+            tio = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+            ci = jnp.min(jnp.where(cand == cv[:, None, :], tio, S),
+                         axis=1) + j * S
+            upd = cv > best_v
+            best_i = jnp.where(upd, ci, best_i)
+            best_v = jnp.where(upd, cv, best_v)
+
+        improve = best_v > dpl[l]
+        dpl[l] = jnp.where(improve, best_v, dpl[l])
+        bkl[l] = jnp.where(improve, best_i, bkl[l])
+
+    return dpl, bkl
 
 
 def _chain_prelude(pos, cnt, qpos, seq_len,

@@ -47,7 +47,11 @@ NEG_SCORE = -INF
 # --------------------------------------------------------------------------
 
 def _bisect_le(sorted_arr, x):
-    """index of last element <= x (or -1); sorted_arr int32 [N], x [...]"""
+    """index of last element <= x (or -1); sorted_arr int32 [N], x [...].
+    Runs on the FLATTENED probe vector (1-D tensors tile densely; a
+    [B, 4, 7] probe shape pads its minor dims to (8, 128))."""
+    shp = x.shape
+    x = x.reshape(-1)
     n = sorted_arr.shape[0]
     lo = jnp.zeros_like(x)
     hi = jnp.full_like(x, n)
@@ -58,7 +62,7 @@ def _bisect_le(sorted_arr, x):
         go_right = sorted_arr[jnp.clip(mid, 0, n - 1)] <= x
         lo = jnp.where(active & go_right, mid + 1, lo)
         hi = jnp.where(active & ~go_right, mid, hi)
-    return lo - 1
+    return (lo - 1).reshape(shp)
 
 
 def _overlap_ind(ad, fa, pos):
@@ -299,6 +303,29 @@ def _extend_core(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
     return ok_out, pos_out, best, defer
 
 
+def _extend_core_flat(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
+                      walk_dp, walk_ok, gen_dp, gen_ok, **kw):
+    """_extend_core on FLATTENED operands: the core is pure elementwise,
+    and [B, 4, 7] / [B, 2, 8] operand shapes pad their minor dims to
+    (8, 128) tiles — flat 1-D runs dense (round-4 bisection: the leftover
+    extends alone cost ~0.19 s in padded form)."""
+    shp = pos.shape
+
+    def f(x):
+        return x.reshape(-1)
+
+    def fd(d):
+        return {kk: v.reshape(-1) for kk, v in d.items()}
+
+    ok, p, best, df = _extend_core(f(pos), f(length), f(ed_th), f(bound),
+                                   f(has_tids), f(iv_ok), f(exon_len),
+                                   fd(walk_dp), f(walk_ok), fd(gen_dp),
+                                   f(gen_ok), **kw)
+    return (ok.reshape(shp), p.reshape(shp),
+            {kk: v.reshape(shp) for kk, v in best.items()},
+            df.reshape(shp))
+
+
 # --------------------------------------------------------------------------
 # mr-state algebra (types.py MatchedRead.update / go_for_update)
 # --------------------------------------------------------------------------
@@ -319,9 +346,11 @@ DEF_EXTWALK = 1 << 7    # multi-exon extension walk
 DEF_MMANNO = 1 << 8     # annotation padding overflow on final coords
 DEF_SCTIE = 1 << 9      # orientation score tie (f64 hazard)
 DEF_TLENWALK = 1 << 10  # calc_tlen walk > W_MAX intervals
+DEF_CTPOOL = 1 << 11    # calc_tlen pool overflow
 
 DEFER_CAUSES = ["occ", "extract", "nchain", "ospool", "xdpool", "panno",
-                "union", "extwalk", "mmanno", "sctie", "tlenwalk"]
+                "union", "extwalk", "mmanno", "sctie", "tlenwalk",
+                "ctpool"]
 
 
 def _mm_ed(mm):
@@ -397,60 +426,82 @@ def _mr_update_type(mr, type_, apply_mask):
 # annotation relations on padded device arrays (utils.cpp:322-664)
 # --------------------------------------------------------------------------
 
+# All four relations run LANE-MAJOR internally: leading dims flatten to one
+# N that rides the 128-lane minor axis, and the padded seg/tid tables are
+# gathered TRANSPOSED ([SP, N] / [ST, N]) so the pairwise [SP, SP', N] /
+# [ST, ST', N] broadcasts are dense instead of padding their 16-wide minor
+# dim to 128 lanes (measured at ~0.33 s of the fused finish, round 4).
+
 def _tids_intersect(fa, iv_a, iv_b):
     """same_transcript2 non-emptiness: any shared tid (order-free)."""
-    ok = (iv_a >= 0) & (iv_b >= 0)
-    ta = fa.iv_tids[jnp.clip(iv_a, 0, fa.iv_tids.shape[0] - 1)]
-    tb = fa.iv_tids[jnp.clip(iv_b, 0, fa.iv_tids.shape[0] - 1)]
-    eq = (ta[..., :, None] == tb[..., None, :]) & (ta[..., :, None] >= 0)
-    return ok & jnp.any(eq, axis=(-2, -1))
+    shp = iv_a.shape
+    a = iv_a.reshape(-1)
+    b = iv_b.reshape(-1)
+    ok = (a >= 0) & (b >= 0)
+    tidsT = fa.iv_tids.T                                 # [ST, NIV]
+    ta = tidsT[:, jnp.clip(a, 0, tidsT.shape[1] - 1)]    # [ST, N]
+    tb = tidsT[:, jnp.clip(b, 0, tidsT.shape[1] - 1)]
+    eq = (ta[:, None, :] == tb[None, :, :]) & (ta[:, None, :] >= 0)
+    return (ok & jnp.any(eq, axis=(0, 1))).reshape(shp)
 
 
 def _same_gene_span(ad, fa, iv, s, e):
     """utils.cpp:617-627: [s, e] inside any gene of iv's seg list."""
-    ok = iv >= 0
-    ivc = jnp.clip(iv, 0, fa.seg_gene_p.shape[0] - 1)
-    g = fa.seg_gene_p[ivc]                               # [..., SP]
+    shp = iv.shape
+    ivf = iv.reshape(-1)
+    sf = s.reshape(-1)
+    ef = e.reshape(-1)
+    ok = ivf >= 0
+    gT = fa.seg_gene_p.T                                 # [SP, NIV]
+    ivc = jnp.clip(ivf, 0, gT.shape[1] - 1)
+    g = gT[:, ivc]                                       # [SP, N]
     nseg = ad.iv_nseg[ivc]
-    pv = (jnp.arange(g.shape[-1])[None, :] * jnp.ones_like(g)
-          < nseg[..., None]) & (g >= 0)
-    gs = fa.gene_start[jnp.clip(g, 0, fa.gene_start.shape[0] - 1)]
-    ge = fa.gene_end[jnp.clip(g, 0, fa.gene_end.shape[0] - 1)]
-    hit = pv & (gs <= s[..., None]) & (e[..., None] <= ge)
-    return ok & jnp.any(hit, axis=-1)
+    pv = (jnp.arange(g.shape[0])[:, None] < nseg[None, :]) & (g >= 0)
+    gc = jnp.clip(g, 0, fa.gene_start.shape[0] - 1)
+    gs = fa.gene_start[gc]
+    ge = fa.gene_end[gc]
+    hit = pv & (gs <= sf[None, :]) & (ef[None, :] <= ge)
+    return (ok & jnp.any(hit, axis=0)).reshape(shp)
 
 
 def _same_gene_iv(ad, fa, iv_a, iv_b):
     """utils.cpp:605-615: shared gene id between two interval seg lists."""
-    ok = (iv_a >= 0) & (iv_b >= 0)
-    ca = jnp.clip(iv_a, 0, fa.seg_gene_p.shape[0] - 1)
-    cb = jnp.clip(iv_b, 0, fa.seg_gene_p.shape[0] - 1)
-    ga = fa.seg_gene_p[ca]
-    gb = fa.seg_gene_p[cb]
-    pa = (jnp.arange(ga.shape[-1])[None, :] * jnp.ones_like(ga)
-          < ad.iv_nseg[ca][..., None]) & (ga >= 0)
-    pb = (jnp.arange(gb.shape[-1])[None, :] * jnp.ones_like(gb)
-          < ad.iv_nseg[cb][..., None]) & (gb >= 0)
-    eq = (ga[..., :, None] == gb[..., None, :]) & pa[..., :, None] \
-        & pb[..., None, :]
-    return ok & jnp.any(eq, axis=(-2, -1))
+    shp = iv_a.shape
+    a = iv_a.reshape(-1)
+    b = iv_b.reshape(-1)
+    ok = (a >= 0) & (b >= 0)
+    gT = fa.seg_gene_p.T                                 # [SP, NIV]
+    ca = jnp.clip(a, 0, gT.shape[1] - 1)
+    cb = jnp.clip(b, 0, gT.shape[1] - 1)
+    ga = gT[:, ca]                                       # [SP, N]
+    gb = gT[:, cb]
+    ar = jnp.arange(ga.shape[0])[:, None]
+    pa = (ar < ad.iv_nseg[ca][None, :]) & (ga >= 0)
+    pb = (ar < ad.iv_nseg[cb][None, :]) & (gb >= 0)
+    eq = (ga[:, None, :] == gb[None, :, :]) & pa[:, None, :] \
+        & pb[None, :, :]
+    return (ok & jnp.any(eq, axis=(0, 1))).reshape(shp)
 
 
 def _same_exon(ad, fa, iv_a, iv_b):
     """Identical (start, end) seg across the two lists (common.cpp:128)."""
-    ok = (iv_a >= 0) & (iv_b >= 0)
-    ca = jnp.clip(iv_a, 0, fa.seg_start_p.shape[0] - 1)
-    cb = jnp.clip(iv_b, 0, fa.seg_start_p.shape[0] - 1)
-    sa, ea = fa.seg_start_p[ca], ad.seg_end[ca]
-    sb, eb = fa.seg_start_p[cb], ad.seg_end[cb]
-    pa = (jnp.arange(sa.shape[-1])[None, :] * jnp.ones_like(sa)
-          < ad.iv_nseg[ca][..., None])
-    pb = (jnp.arange(sb.shape[-1])[None, :] * jnp.ones_like(sb)
-          < ad.iv_nseg[cb][..., None])
-    eq = ((sa[..., :, None] == sb[..., None, :])
-          & (ea[..., :, None] == eb[..., None, :])
-          & pa[..., :, None] & pb[..., None, :])
-    return ok & jnp.any(eq, axis=(-2, -1))
+    shp = iv_a.shape
+    a = iv_a.reshape(-1)
+    b = iv_b.reshape(-1)
+    ok = (a >= 0) & (b >= 0)
+    ssT = fa.seg_start_p.T                               # [SP, NIV]
+    seT = ad.seg_end.T
+    ca = jnp.clip(a, 0, ssT.shape[1] - 1)
+    cb = jnp.clip(b, 0, ssT.shape[1] - 1)
+    sa, ea = ssT[:, ca], seT[:, ca]                      # [SP, N]
+    sb, eb = ssT[:, cb], seT[:, cb]
+    ar = jnp.arange(sa.shape[0])[:, None]
+    pa = ar < ad.iv_nseg[ca][None, :]
+    pb = ar < ad.iv_nseg[cb][None, :]
+    eq = ((sa[:, None, :] == sb[None, :, :])
+          & (ea[:, None, :] == eb[None, :, :])
+          & pa[:, None, :] & pb[None, :, :])
+    return (ok & jnp.any(eq, axis=(0, 1))).reshape(shp)
 
 
 def _calc_tlen(ad, fa, sm_iv_e, sm_ind_e, sm_epos, sm_mlen,
@@ -932,19 +983,21 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB):
             walk_ok = mc["covered_l"] & jnp.where(walk_extra,
                                                   mc["walkL_inb"],
                                                   mc["genL_inb"])
-            return _extend_core(mc["pos_l"], mc["remain_beg"], ed_th, bound,
-                                has_tids, mc["iv_l"] >= 0, mc["exon_len_l"],
-                                walk, walk_ok, gen, mc["genL_inb"],
-                                left=True, max_sc=max_sc, band=band)
+            return _extend_core_flat(
+                mc["pos_l"], mc["remain_beg"], ed_th, bound,
+                has_tids, mc["iv_l"] >= 0, mc["exon_len_l"],
+                walk, walk_ok, gen, mc["genL_inb"],
+                left=True, max_sc=max_sc, band=band)
         gen = dp_of(mc, 1, 0)
         walk_extra = mc["wxR"]
         walk = _ares_where(walk_extra, dp_of(mc, 1, 1), gen)
         walk_ok = mc["covered_r"] & jnp.where(walk_extra, mc["walkR_inb"],
                                               mc["genR_inb"])
-        return _extend_core(mc["pos_r"], mc["remain_end"], ed_th, bound,
-                            has_tids, mc["iv_r"] >= 0, mc["exon_len_r"],
-                            walk, walk_ok, gen, mc["genR_inb"],
-                            left=False, max_sc=max_sc, band=band)
+        return _extend_core_flat(
+            mc["pos_r"], mc["remain_end"], ed_th, bound,
+            has_tids, mc["iv_r"] >= 0, mc["exon_len_r"],
+            walk, walk_ok, gen, mc["genR_inb"],
+            left=False, max_sc=max_sc, band=band)
 
     MINLB = jnp.zeros((B, 2, P_MAX), jnp.int32)
     MAXUBv = jnp.full((B, 2, P_MAX), I32MAX, jnp.int32)
@@ -1130,7 +1183,7 @@ def _check_2bsj(mr, sm, lm, pre, chr_idx, shift, r1_sm, mask,
                         ok & pre["bsj_hit"])
 
 
-def _pair_precompute(ad, fa, lmm, rmm, *, W_MAX):
+def _pair_precompute(ad, fa, lmm, rmm, need, *, W_MAX, CT_POOL):
     """Everything the decision rules need that is PAIR-PURE (independent of
     the running mr state), computed over all [B, 2, P_MAX] pairs in one
     vectorized pass.  Hoisting this out of the sequential pair fold removes
@@ -1151,13 +1204,27 @@ def _pair_precompute(ad, fa, lmm, rmm, *, W_MAX):
     def fl(x):
         return x.reshape(-1)
 
-    tl, inn, df = _calc_tlen(ad, fa, fl(sm["iv_e"]), fl(sm["ind_e"]),
-                             fl(sm["epos"]), fl(sm["mlen"]),
-                             fl(lm["iv_s"]), fl(lm["ind_s"]),
-                             fl(lm["spos"]), fl(lm["mlen"]), W_MAX=W_MAX)
-    pre["ct_tl"] = tl.reshape(shp)
-    pre["ct_inn"] = inn.reshape(shp)
-    pre["ct_df"] = df.reshape(shp)
+    # calc_tlen only matters for successful on-annotation pairs (the
+    # fold reads it under u2b&cc, a subset of `need`), and most of the
+    # [B, 2, P] slots are empty — compact into a pool first (the full
+    # enumeration cost ~0.7 s of the fused finish, round-4 bisection)
+    nflat = need.reshape(-1)
+    inv, n_act, over = _compact(nflat, CT_POOL)
+
+    def gp(x):
+        return fl(x)[inv]
+
+    tl_p, inn_p, df_p = _calc_tlen(ad, fa, gp(sm["iv_e"]), gp(sm["ind_e"]),
+                                   gp(sm["epos"]), gp(sm["mlen"]),
+                                   gp(lm["iv_s"]), gp(lm["ind_s"]),
+                                   gp(lm["spos"]), gp(lm["mlen"]),
+                                   W_MAX=W_MAX)
+    NFLT = nflat.shape[0]
+    pre["ct_tl"] = _scatter_pool(tl_p, inv, n_act, NFLT).reshape(shp)
+    pre["ct_inn"] = _scatter_pool(inn_p, inv, n_act, NFLT).reshape(shp)
+    pre["ct_df"] = _scatter_pool(df_p.astype(jnp.int32), inv, n_act,
+                                 NFLT).reshape(shp) != 0
+    pre["ct_over"] = over.reshape(shp)
     return pre
 
 
@@ -1169,10 +1236,12 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
                        genome, ad, fa, *, k, max_ed, max_sc, band,
                        max_tlen, scan_level, contig_num, KB, P_MAX, W_MAX,
                        OS_POOL, XD_POOL, mat, mis, ind, xd, I=128,
-                       upto="full"):
+                       CT_POOL=None, upto="full"):
     """See module docstring.  Returns (mr_out int32 [B, MRF], defer [B]).
     upto in ("phase1", "lo", "phase2", "pre", "full") cuts the program for
     the on-chip micro-bisection (tools/bisect_device_full.py)."""
+    if CT_POOL is None:
+        CT_POOL = 4 * (seqs.shape[0] // 4)
     st = _phase1(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in, genome,
                  ad, fa, k=k, max_ed=max_ed, max_sc=max_sc, band=band,
                  KB=KB, OS_POOL=OS_POOL, XD_POOL=XD_POOL, mat=mat, mis=mis,
@@ -1188,14 +1257,14 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
 
     no_tids = jnp.zeros((B, 4, KB1), jnp.bool_)
     ed_th_l = max_ed - st["est_mid"]
-    lo_lok, lo_spos, lo_bl, _ = _extend_core(
+    lo_lok, lo_spos, lo_bl, _ = _extend_core_flat(
         st["pos_l"], st["remain_beg"], ed_th_l,
         jnp.zeros((B, 4, KB1), jnp.int32), no_tids,
         st["iv_l"] >= 0, st["exon_len_l"], chain_dp(0, 0),
         jnp.zeros((B, 4, KB1), jnp.bool_), chain_dp(0, 0), st["genL_inb"],
         left=True, max_sc=max_sc, band=band)
     ed_th_r = max_ed - st["est_mid"] - lo_bl["ed"]
-    lo_rok, lo_epos, lo_br, _ = _extend_core(
+    lo_rok, lo_epos, lo_br, _ = _extend_core_flat(
         st["pos_r"], st["remain_end"], ed_th_r,
         jnp.full((B, 4, KB1), I32MAX, jnp.int32), no_tids,
         st["iv_r"] >= 0, st["exon_len_r"], chain_dp(1, 0),
@@ -1272,8 +1341,12 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
         return jnp.take_along_axis(arr, ix, axis=1)[:, 0]
 
     stopped = jnp.zeros((B,), jnp.bool_)
-    # pair-pure relations + calc_tlen over ALL [B, 2, P] pairs in one pass
-    pre_all = _pair_precompute(ad, fa, lmm, rmm, W_MAX=W_MAX)
+    # pair-pure relations + pooled calc_tlen over the [B, 2, P] pairs
+    ct_need = pvalid & success & (lmm["iv_e"] >= 0) & (rmm["iv_s"] >= 0)
+    pre_all = _pair_precompute(ad, fa, lmm, rmm, ct_need, W_MAX=W_MAX,
+                               CT_POOL=CT_POOL)
+    defer = defer | DEF_CTPOOL * pre_all["ct_over"].reshape(
+        pre_all["ct_over"].shape[0], -1).any(axis=1)
     if upto == "pre":
         return pre_all, defer
     # fields of the mate bundles the fold actually consumes
