@@ -103,6 +103,43 @@ def make_sharded_map_step(mesh: Mesh, cfg: Config, *, k: int, cs_len: int,
     return jax.jit(wrapped)
 
 
+def make_sharded_full_step(mesh: Mesh, statics: dict, *, contig_num: int = 0,
+                           prefix_shift: int = 0, prefix_iters: int = 0):
+    """The COMPLETE fused device-full map step sharded over the mesh:
+    reads + incoming MatchedRead state data-parallel along dp; index,
+    genome, and both annotation pytrees replicated into every chip's HBM.
+
+    This is the multi-chip form of the whole per-read mapping pipeline —
+    lookup -> chain DP -> k-best -> pairing -> extension pools -> category
+    lattice — not just its lookup/chain front (the analog of the reference
+    parallelizing process_read itself across workers,
+    circminer.cpp:285-345).  Per-shard outputs are bit-identical to the
+    single-device program on the same rows: every stage is row-local, and
+    the compaction pools scatter back exactly, so only the pool-overflow
+    DEFER bits could differ (a shard sees 1/D of the load, so overflow is
+    never MORE likely than on one chip).
+
+    Returns a jitted fn(seqs, lens, mr_in, entry_hv, entry_checksum,
+    entry_pos, genome, ad, fa, entry_prefix) -> int32 [B, MRF+1] blob.
+    """
+    from ..ops.device_full import device_full_step
+
+    impl = device_full_step.__wrapped__  # the un-jitted implementation
+
+    def inner(seqs, lens, mr_in, entry_hv, entry_checksum, entry_pos,
+              genome, ad, fa, entry_prefix):
+        return impl(seqs, lens, mr_in, entry_hv, entry_checksum,
+                    entry_pos, genome, ad, fa, entry_prefix,
+                    contig_num=contig_num, prefix_shift=prefix_shift,
+                    prefix_iters=prefix_iters, **statics)
+
+    in_spec = (P("dp", None), P("dp"), P("dp", None),
+               P(), P(), P(), P(), P(), P(), P())
+    out_spec = P("dp", None)
+    return jax.jit(_shard_map(inner, mesh=mesh, in_specs=in_spec,
+                              out_specs=out_spec))
+
+
 def shard_index_arrays(ci, n_shards: int, window_size: int = 14):
     """Split a ContigIndex's bucket space into ``n_shards`` contiguous
     ranges for HBM sharding (SURVEY §5: the full-GRCh38 index payload
