@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--dump-events", default=None, metavar="PATH",
                     help="write called + true event coordinates (JSON) for "
                          "offline FP/FN analysis")
+    ap.add_argument("--circ-device", action="store_true",
+                    help="dispatch stage-2 extension DPs to the device "
+                         "(speculate-and-select waves; bit-equal outputs)")
     ap.add_argument("--sweep-ed", default=None, metavar="LO..HI",
                     help="run the whole map+call once per max edit distance "
                          "e in LO..HI (BASELINE config 3, the reference's "
@@ -239,7 +242,11 @@ def main():
             r1.mr.genome_spos = r1.mr.spos_r1
         bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
     pc = ProcessCirc(db, gi, cfg, os.path.join("/tmp", "bench_out"))
-    if args.profile_circ:
+    if args.circ_device:
+        pc.run(bsj, device_ext=True)
+        circ_s = time.time() - t0
+        args.profile_circ = None
+    elif args.profile_circ:
         import cProfile
         prof = cProfile.Profile()
         prof.enable()

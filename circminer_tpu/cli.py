@@ -304,7 +304,10 @@ def _run_search_stages(args, cfg: Config) -> int:
         recs = iter_sorted_remain(r1p, r2p, cfg,
                                   internal=cfg.internal_sort)
         pc = ProcessCirc(db, gi, cfg, args.output)
-        pc.run(recs)
+        # --device tpu-full also dispatches the stage-2 extension DPs to
+        # the accelerator (speculate-and-select waves; chaining + lattice
+        # stay host — see ProcessCirc._run_device)
+        pc.run(recs, device_ext=args.device == "tpu-full")
         pc.report_events(args.output + ".circ_report")
         pc.write_candidates(args.output + ".candidates.pam")
         print(f"[INFO] circRNA detection done: "

@@ -438,9 +438,11 @@ def _tids_intersect(fa, iv_a, iv_b):
     a = iv_a.reshape(-1)
     b = iv_b.reshape(-1)
     ok = (a >= 0) & (b >= 0)
-    tidsT = fa.iv_tids.T                                 # [ST, NIV]
-    ta = tidsT[:, jnp.clip(a, 0, tidsT.shape[1] - 1)]    # [ST, N]
-    tb = tidsT[:, jnp.clip(b, 0, tidsT.shape[1] - 1)]
+    # gather CONTIGUOUS table rows (fast path), then transpose to
+    # lane-major — a transposed-table element gather ran ~70 ns/elem
+    NIV = fa.iv_tids.shape[0]
+    ta = fa.iv_tids[jnp.clip(a, 0, NIV - 1)].T           # [ST, N]
+    tb = fa.iv_tids[jnp.clip(b, 0, NIV - 1)].T
     eq = (ta[:, None, :] == tb[None, :, :]) & (ta[:, None, :] >= 0)
     return (ok & jnp.any(eq, axis=(0, 1))).reshape(shp)
 
@@ -452,9 +454,9 @@ def _same_gene_span(ad, fa, iv, s, e):
     sf = s.reshape(-1)
     ef = e.reshape(-1)
     ok = ivf >= 0
-    gT = fa.seg_gene_p.T                                 # [SP, NIV]
-    ivc = jnp.clip(ivf, 0, gT.shape[1] - 1)
-    g = gT[:, ivc]                                       # [SP, N]
+    NIV = fa.seg_gene_p.shape[0]
+    ivc = jnp.clip(ivf, 0, NIV - 1)
+    g = fa.seg_gene_p[ivc].T                             # [SP, N]
     nseg = ad.iv_nseg[ivc]
     pv = (jnp.arange(g.shape[0])[:, None] < nseg[None, :]) & (g >= 0)
     gc = jnp.clip(g, 0, fa.gene_start.shape[0] - 1)
@@ -470,11 +472,11 @@ def _same_gene_iv(ad, fa, iv_a, iv_b):
     a = iv_a.reshape(-1)
     b = iv_b.reshape(-1)
     ok = (a >= 0) & (b >= 0)
-    gT = fa.seg_gene_p.T                                 # [SP, NIV]
-    ca = jnp.clip(a, 0, gT.shape[1] - 1)
-    cb = jnp.clip(b, 0, gT.shape[1] - 1)
-    ga = gT[:, ca]                                       # [SP, N]
-    gb = gT[:, cb]
+    NIV = fa.seg_gene_p.shape[0]
+    ca = jnp.clip(a, 0, NIV - 1)
+    cb = jnp.clip(b, 0, NIV - 1)
+    ga = fa.seg_gene_p[ca].T                             # [SP, N]
+    gb = fa.seg_gene_p[cb].T
     ar = jnp.arange(ga.shape[0])[:, None]
     pa = (ar < ad.iv_nseg[ca][None, :]) & (ga >= 0)
     pb = (ar < ad.iv_nseg[cb][None, :]) & (gb >= 0)
@@ -489,12 +491,11 @@ def _same_exon(ad, fa, iv_a, iv_b):
     a = iv_a.reshape(-1)
     b = iv_b.reshape(-1)
     ok = (a >= 0) & (b >= 0)
-    ssT = fa.seg_start_p.T                               # [SP, NIV]
-    seT = ad.seg_end.T
-    ca = jnp.clip(a, 0, ssT.shape[1] - 1)
-    cb = jnp.clip(b, 0, ssT.shape[1] - 1)
-    sa, ea = ssT[:, ca], seT[:, ca]                      # [SP, N]
-    sb, eb = ssT[:, cb], seT[:, cb]
+    NIV = fa.seg_start_p.shape[0]
+    ca = jnp.clip(a, 0, NIV - 1)
+    cb = jnp.clip(b, 0, NIV - 1)
+    sa, ea = fa.seg_start_p[ca].T, ad.seg_end[ca].T      # [SP, N]
+    sb, eb = fa.seg_start_p[cb].T, ad.seg_end[cb].T
     ar = jnp.arange(sa.shape[0])[:, None]
     pa = ar < ad.iv_nseg[ca][None, :]
     pb = ar < ad.iv_nseg[cb][None, :]

@@ -118,6 +118,12 @@ class ProcessCirc:
         self.ext: Optional[TransExtension] = None
         self.ctx = None
         self._ht_cache: Dict[int, RegionalHashTable] = {}
+        # speculative-execution caches for the device extension path
+        # (filled by _run_device's wave phase, consumed by the select
+        # phase; key prefix = the read's slot in the current group)
+        self._spec_key = None
+        self._chain_cache: Dict = {}
+        self._fec_cache: Dict = {}
         # per-call scratch (mirrors the reference's member seqs)
         self.fullmap_seq = None
         self.remain_seq = None
@@ -235,6 +241,18 @@ class ProcessCirc:
                          partial_mm: MatchedMate, direction: int, qspos: int,
                          rseq: np.ndarray, rlen: int, whole_len: int,
                          bc: Chain) -> bool:
+        from .extend import run_gen
+        return run_gen(self.find_exact_coord_g(
+            mm_r1, mm_r2, partial_mm, direction, qspos, rseq, rlen,
+            whole_len, bc), self.ext.svc)
+
+    def find_exact_coord_g(self, mm_r1: MatchedMate, mm_r2: MatchedMate,
+                           partial_mm: MatchedMate, direction: int,
+                           qspos: int, rseq: np.ndarray, rlen: int,
+                           whole_len: int, bc: Chain):
+        """Generator form: yields alignment requests so a wave scheduler
+        can batch the extension DPs of MANY candidates as device
+        dispatches (the stage-2 device path; extend_batch.run_waves)."""
         cfg = self.cfg
         set_mm(bc, qspos, rlen, direction, partial_mm)
         qspos -= 1  # 0-based
@@ -248,7 +266,7 @@ class ProcessCirc:
         if not common_tid:
             return False
 
-        partial_mm.middle_ed = self.ext.calc_middle_ed(
+        partial_mm.middle_ed = yield from self.ext.calc_middle_ed_g(
             bc, cfg.max_ed, rseq, rlen)
         if partial_mm.middle_ed > cfg.max_ed:
             return False
@@ -259,13 +277,13 @@ class ProcessCirc:
             return False
         err = partial_mm.middle_ed
         partial_mm.matched_len = rlen
-        lok, err = self.ext.extend_chain_left(
+        lok, err = yield from self.ext.extend_chain_left_g(
             common_tid, bc, rseq[qspos:], qspos, MINLB, partial_mm, err)
         if qspos == 0:
-            rok, err = self.ext.extend_chain_right(
+            rok, err = yield from self.ext.extend_chain_right_g(
                 common_tid, bc, rseq, rlen, MAXUB, partial_mm, err)
         else:
-            rok, err = self.ext.extend_chain_right(
+            rok, err = yield from self.ext.extend_chain_right_g(
                 common_tid, bc, rseq, whole_len, MAXUB, partial_mm, err)
         from .extend import update_match_mate_info
         update_match_mate_info(lok, rok, err, partial_mm, cfg)
@@ -709,8 +727,11 @@ class ProcessCirc:
         out.spos_r2, out.epos_r2 = s2, e2
         return out
 
-    def call_circ_single_split(self, rec1: ReadRecord, rec2: ReadRecord):
-        cfg = self.cfg
+    def _single_split_setup(self, rec1: ReadRecord, rec2: ReadRecord):
+        """The deterministic head of call_circ_single_split (partial-mate
+        selection, remain window, gene overlap), shared with the
+        speculative device wave phase so both enumerate IDENTICAL
+        candidates.  Returns None on the early exits, else a dict."""
         mr = self._conloc(rec1.mr)
         r1_partial = mr.mlen_r1 < mr.mlen_r2
         if r1_partial:
@@ -742,7 +763,7 @@ class ProcessCirc:
 
         remain_len = qepos - qspos + 1
         if qepos < qspos or remain_len < self.window_size:
-            return
+            return None
         if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:421-422
             from ..ops.encode import decode_seq
             ulog.vaf(2, "R%d partial: [%d-%d]", 1 if r1_partial else 2,
@@ -751,7 +772,22 @@ class ProcessCirc:
         gene_iv = self.db.gene_overlap(self.contig, mm_r1.spos)
         if gene_iv is None:
             ulog.vaf(2, "Gene not found!")  # process_circ.cpp:403
+            return None
+        return dict(mr=mr, r1_partial=r1_partial, remain=remain,
+                    fullm=fullm, mm_r1=mm_r1, mm_r2=mm_r2, qspos=qspos,
+                    qepos=qepos, whole_len=whole_len,
+                    remain_len=remain_len, gene_iv=gene_iv)
+
+    def call_circ_single_split(self, rec1: ReadRecord, rec2: ReadRecord):
+        cfg = self.cfg
+        su = self._single_split_setup(rec1, rec2)
+        if su is None:
             return
+        (mr, r1_partial, remain, mm_r1, mm_r2, qspos, qepos, whole_len,
+         remain_len, gene_iv) = (su["mr"], su["r1_partial"], su["remain"],
+                                 su["mm_r1"], su["mm_r2"], su["qspos"],
+                                 su["qepos"], su["whole_len"],
+                                 su["remain_len"], su["gene_iv"])
         ca = self.db.contigs[self.contig]
         best_cr = CircRes(type=NF)
         h_remain = kmer_hashes(remain, self.window_size)
@@ -764,17 +800,28 @@ class ProcessCirc:
             gs = int(ca.gv_gene_start[e])
             ge = int(ca.gv_gene_end[e])
             gid = int(ca.gv_gene_id[e])
-            ht = self.get_hash_table(gs, ge, gid)
-            chains = self.chaining(qspos, qepos, ht, remain, gs, h=h_remain)
+            ckey = (self._spec_key, e) if self._spec_key is not None \
+                else None
+            if ckey is not None and ckey in self._chain_cache:
+                chains = self._chain_cache[ckey]
+            else:
+                ht = self.get_hash_table(gs, ge, gid)
+                chains = self.chaining(qspos, qepos, ht, remain, gs,
+                                       h=h_remain)
             if not chains:
                 continue
             forward = mr.r1_forward if r1_partial else mr.r2_forward
             direction = 1 if forward else -1
-            for ch in chains[:TOPCHAIN]:
-                partial_mm = MatchedMate.default(cfg.max_ed)
-                self.find_exact_coord(mm_r1, mm_r2, partial_mm, direction,
-                                      qspos, remain, remain_len, whole_len,
-                                      ch)
+            for ci_, ch in enumerate(chains[:TOPCHAIN]):
+                hit = (self._fec_cache.get((self._spec_key, e, ci_))
+                       if self._spec_key is not None else None)
+                if hit is not None:
+                    partial_mm = hit
+                else:
+                    partial_mm = MatchedMate.default(cfg.max_ed)
+                    self.find_exact_coord(mm_r1, mm_r2, partial_mm,
+                                          direction, qspos, remain,
+                                          remain_len, whole_len, ch)
                 if partial_mm.type != CONCRD:
                     continue
                 con_shift = get_shift(self.db.con2chr, self.contig,
@@ -935,13 +982,101 @@ class ProcessCirc:
                 f"{mm_r2.spos - sh}\t{mm_r2.epos - sh}\t{mm_r2.qspos}\t"
                 f"{mm_r2.matched_len}\t{mm_r2.dir}\t{typ}")
 
+    # --- the device extension path (stage-2 analog of the wave engine) ---
+    def _run_device(self, pairs, group: int = 256) -> None:
+        """Stage 2 with the extension DPs dispatched to the accelerator:
+        speculate-and-select.  Per sorted group, the gene-local chaining
+        runs on host (its 31-k-mer-list sparse DP is host-shaped — see
+        HW_NOTES), every candidate chain's find_exact_coord extension runs
+        as a GENERATOR, and extend_batch.run_waves drives all candidates
+        of the group in lockstep so each wave's alignment requests solve
+        as wide batched device dispatches (ops/align_device.py kernels,
+        bit-equal to the host aligners).  The select phase then replays
+        the reference's sequential early-exit lattice against the cached
+        results — outputs are bit-identical to the host path because the
+        speculation only evaluates a superset of candidates.  Double-split
+        reads (CHI2BSJ cross products) stay on the host aligner.
+        """
+        from ..ops.align_device import DeviceAlignService
+        from .extend import run_gen
+        from .extend_batch import run_waves
+        svc = DeviceAlignService(self.cfg)
+        svc.warm()
+        pairs = list(pairs)
+        i = 0
+        n_all = len(pairs)
+        while i < n_all:
+            contig = pairs[i][0].mr.contig_num
+            if contig != self.contig:
+                self.load_contig(contig)
+            j = i
+            while j < n_all and j - i < group \
+                    and pairs[j][0].mr.contig_num == contig:
+                j += 1
+            grp = pairs[i:j]
+            i = j
+            # ---- speculative wave phase ----
+            self.check_removables(grp[0][0].mr.spos_r1)
+            gens, keys, pms = [], [], []
+            with T.phase("circ_dev_spec"):
+                for slot, (r1, r2) in enumerate(grp):
+                    if r1.mr.type != CHIBSJ:
+                        continue
+                    su = self._single_split_setup(r1, r2)
+                    if su is None:
+                        continue
+                    ca = self.db.contigs[self.contig]
+                    h_remain = kmer_hashes(su["remain"], self.window_size)
+                    gv = su["gene_iv"]
+                    forward = (su["mr"].r1_forward if su["r1_partial"]
+                               else su["mr"].r2_forward)
+                    direction = 1 if forward else -1
+                    for e in range(int(ca.gv_seg_off[gv]),
+                                   int(ca.gv_seg_off[gv + 1])):
+                        gs = int(ca.gv_gene_start[e])
+                        ge = int(ca.gv_gene_end[e])
+                        gid = int(ca.gv_gene_id[e])
+                        ht = self.get_hash_table(gs, ge, gid)
+                        chains = self.chaining(su["qspos"], su["qepos"],
+                                               ht, su["remain"], gs,
+                                               h=h_remain)
+                        self._chain_cache[(slot, e)] = chains
+                        for ci_, ch in enumerate(chains[:TOPCHAIN]):
+                            pm = MatchedMate.default(self.cfg.max_ed)
+                            gens.append(self.find_exact_coord_g(
+                                su["mm_r1"], su["mm_r2"], pm, direction,
+                                su["qspos"], su["remain"],
+                                su["remain_len"], su["whole_len"], ch))
+                            keys.append((slot, e, ci_))
+                            pms.append(pm)
+            with T.phase("circ_dev_waves"):
+                _, n_waves = run_waves(gens, svc)
+            for kk, pm in zip(keys, pms):
+                self._fec_cache[kk] = pm
+            # ---- sequential select phase (reference lattice order) ----
+            with T.phase("circ_dev_select"):
+                for slot, (r1, r2) in enumerate(grp):
+                    self._spec_key = slot
+                    self.call_circ(r1, r2)
+            self._spec_key = None
+            self._chain_cache.clear()
+            self._fec_cache.clear()
+        self.dev_align_stats = dict(n_device=svc.n_device,
+                                    n_host=svc.n_host,
+                                    n_dispatch=svc.n_dispatch)
+
     # --- stream + report (process_circ.cpp:195-331, 1570-1631) ---
-    def run(self, pairs, native: Optional[bool] = None) -> None:
+    def run(self, pairs, native: Optional[bool] = None,
+            device_ext: bool = False) -> None:
         """pairs: iterable of (rec1, rec2) already sorted by genome_spos.
 
         native=None (default) routes through the batched C++ stage-2
         engine (ops/circ_native.py) when available and per-read tracing is
-        off; native=False forces the per-read Python oracle."""
+        off; native=False forces the per-read Python oracle; device_ext
+        dispatches the single-split extension DPs to the accelerator in
+        lockstep waves (_run_device)."""
+        if device_ext:
+            return self._run_device(pairs)
         if native is None:
             native = ulog.TRACE_LEVEL == 0
         if native:
