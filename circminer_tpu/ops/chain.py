@@ -434,201 +434,6 @@ def _chain_prelude(pos, cnt, qpos, seq_len,
     return posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c
 
 
-def chain_batch_pallas(pos, cnt, qpos, seq_len,
-                       nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
-                       iv_max_next, iv_nseg, seg_end, seg_next,
-                       *, k: int, max_ed: int, max_intron: int,
-                       seg_pad: int, block_b: int = 128,
-                       interpret: bool = False):
-    """chain_batch_device with the DP core executed as a Pallas kernel:
-    each row block's cells, gates, and [BB, S, M] transition tensors stay
-    VMEM-resident across all NL list steps instead of round-tripping HBM
-    between them (the round-3 xplane profile measured those round trips at
-    46% of the fused device-full dispatch).  Bit-identical to
-    chain_batch_device (same _chain_dp_core); pinned by
-    tests/test_chain_pallas.py."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, NL, S = pos.shape
-    M = NL * S
-    P = seg_pad
-
-    # identical prelude to chain_batch_device (shared would tangle the
-    # tracing; the parity test pins the pair)
-    pre = _chain_prelude(pos, cnt, qpos, seq_len, nb_bits, iv_spos, iv_epos,
-                         iv_max_end, iv_min_end, iv_max_next, iv_nseg,
-                         seg_end, seg_next, k=k, max_ed=max_ed,
-                         seg_pad=seg_pad)
-    posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c = pre
-
-    BB = min(block_b, B)
-    pad = (-B) % BB
-    if pad:
-        zi = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-        pos3p = zi(pos)
-        posf, qposf, ub, mee, e1 = map(zi, (posf, qposf, ub, mee, e1))
-        validf, sep_c, snp_c, pv_c = map(zi, (validf, sep_c, snp_c, pv_c))
-    else:
-        pos3p = pos
-    Bp = B + pad
-    v8 = validf.astype(jnp.int8)
-    pv8 = pv_c.astype(jnp.int8)
-
-    def kernel(pos_ref, posf_ref, qposf_ref, v_ref, ub_ref, mee_ref,
-               e1_ref, sep_ref, snp_ref, pv_ref, dp_ref, back_ref):
-        dpl, bkl = _chain_dp_core(
-            pos_ref[:], posf_ref[:], qposf_ref[:], v_ref[:] != 0,
-            ub_ref[:], mee_ref[:], e1_ref[:], sep_ref[:], snp_ref[:],
-            pv_ref[:] != 0, k=k, max_ed=max_ed, max_intron=max_intron,
-            unroll_segs=True)
-        for l in range(NL):
-            dp_ref[:, l * S:(l + 1) * S] = dpl[l]
-            back_ref[:, l * S:(l + 1) * S] = bkl[l]
-
-    def bs(*shape):
-        nd = len(shape)
-        return pl.BlockSpec((BB,) + shape,
-                            lambda b, nd=nd: (b,) + (0,) * nd,
-                            memory_space=pltpu.VMEM)
-
-    dp, back = pl.pallas_call(
-        kernel,
-        grid=(Bp // BB,),
-        in_specs=[bs(NL, S), bs(M), bs(M), bs(M), bs(M), bs(M), bs(M),
-                  bs(M, P), bs(M, P), bs(M, P)],
-        out_specs=[bs(M), bs(M)],
-        out_shape=[jax.ShapeDtypeStruct((Bp, M), jnp.int32),
-                   jax.ShapeDtypeStruct((Bp, M), jnp.int32)],
-        interpret=interpret,
-    )(pos3p, posf, qposf, v8, ub, mee, e1, sep_c, snp_c, pv8)
-    return (dp[:B].reshape(B, NL, S), back[:B].reshape(B, NL, S))
-
-
-def _chain_dp_core(pos3, posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
-                   pv_c, *, k: int, max_ed: int, max_intron: int,
-                   unroll_segs: bool = False):
-    """The annotation-gated sparse DP over one (sub)batch, in per-(source
-    list, target list) [b, S, S] blocks.
-
-    Pure elementwise/reduce jnp on pre-gathered per-cell tensors, so the
-    SAME function is both the XLA formulation (whole batch; used by
-    chain_batch_device) and the Pallas kernel body (per VMEM-resident row
-    block; chain_batch_pallas) — bit-identical by construction.  Block
-    form keeps every op Mosaic-lowerable: no gathers, scatters, squeezes,
-    minor-dim bool inserts, or minor-dim reshapes.
-
-    Returns (dpl, bkl): per-list [b, S] score / flat-backpointer pieces.
-    Cells with no winning transition keep their init values except the
-    reference formulation's benign degenerate: invalid cells (validf
-    False) may hold _NEG+dp "wins" — every consumer masks on validf.
-    """
-    b, NL, S = pos3.shape
-    P = sep_c.shape[-1]
-    alpha10 = jnp.int32(200000) * k
-
-    def seg(a, l):
-        return a[:, l * S:(l + 1) * S]
-
-    # arithmetic select: where() with an i1 mask and scalar branches hits
-    # an unsupported i1 relayout in Mosaic
-    dpl = [seg(validf, l).astype(jnp.int32) * (jnp.int32(10 * k) - _NEG)
-           + _NEG for l in range(NL)]
-    bkl = [jnp.full((b, S), -1, dtype=jnp.int32) for l in range(NL)]
-
-    for l in range(NL - 2, -1, -1):
-        pi = seg(posf, l)[:, :, None]                            # [b, S, 1]
-        qp_l = seg(qposf, l)[:, :, None]
-        ub_l = seg(ub, l)[:, :, None]
-        mee_l = seg(mee, l)[:, :, None]
-        e1_l = seg(e1, l)[:, :, None]
-        v_l32 = seg(validf, l).astype(jnp.int32)[:, :, None]  # [b, S, 1]
-
-        def b3(x1):
-            # bool [b, S, 1] (or [b, 1, S]) -> bool [b, S, S]; the
-            # replication happens on int32 (Mosaic cannot relayout i1)
-            return jnp.broadcast_to(x1.astype(jnp.int32),
-                                    (b, S, S)) != 0
-        sep_l = sep_c[:, l * S:(l + 1) * S]                      # [b, S, P]
-        snp_l = snp_c[:, l * S:(l + 1) * S]
-        pv_l = pv_c[:, l * S:(l + 1) * S]
-
-        best_v = jnp.full((b, S), _NEG, dtype=jnp.int32)
-        best_i = jnp.full((b, S), -1, dtype=jnp.int32)
-        for j in range(l + 1, NL):
-            pjv = seg(posf, j)[:, None, :]                       # [b, 1, St]
-            v_j32 = seg(validf, j).astype(jnp.int32)[:, None, :]
-            qp_j = seg(qposf, j)[:, None, :]
-            rd = qp_j - qp_l - k                                 # [b, S, St]
-            # maxIntron rule (chain.cpp:148-150): the first candidate of
-            # list j beyond pos_i must be within max_intron
-            minpos = jnp.min(jnp.where(pjv > pi, pjv,
-                                       jnp.int32(2**31 - 1)),
-                             axis=-1)[:, :, None]                # [b, S, 1]
-            gate_l32 = v_l32 * (minpos <= pi + max_intron
-                                ).astype(jnp.int32)              # [b, S, 1]
-            base = (b3(gate_l32 != 0) & b3(v_j32 != 0)
-                    & (pjv > pi) & (pjv <= ub_l))
-            # genome gate
-            ge_allowed = b3(mee_l == 0) | ((pjv + k - 1) <= mee_l)
-            gd = pjv - pi - k
-            g_ok = ge_allowed & (jnp.abs(gd - rd) <= max_ed)
-
-            # junction gate (chain.cpp:28-64) over the pre-gathered segs
-            def seg_step3(sep3, snp3, pv3, carry):
-                jn_ok, jn_dist, intron_any = carry
-                e12end3 = sep3 - e1_l                            # [b, S, 1]
-                beg2s2 = pjv - snp3                              # [b, S, St]
-                td = e12end3 + beg2s2
-                acc = b3(pv3 & (e12end3 >= 0)) & (beg2s2 >= 0) & \
-                      (jnp.abs(td - rd) <= max_ed)
-                jn_dist = jnp.where(~jn_ok & acc, td, jn_dist)
-                jn_ok = jn_ok | acc
-                ic = (b3(pv3 & (e12end3 >= 0))
-                      & (e12end3 < rd) & ((beg2s2 + k) < 0))
-                return jn_ok, jn_dist, intron_any | ic
-
-            zero_b = jnp.zeros((b, S, S), dtype=jnp.bool_)
-            carry = (zero_b, jnp.zeros((b, S, S), jnp.int32), zero_b)
-            if unroll_segs:
-                for p in range(P):
-                    carry = seg_step3(sep_l[:, :, p:p + 1],
-                                      snp_l[:, :, p:p + 1],
-                                      pv_l[:, :, p:p + 1], carry)
-            else:
-                def seg_body(p, carry):
-                    sep3 = jax.lax.dynamic_slice_in_dim(sep_l, p, 1, axis=2)
-                    snp3 = jax.lax.dynamic_slice_in_dim(snp_l, p, 1, axis=2)
-                    pv3 = jax.lax.dynamic_slice_in_dim(pv_l, p, 1, axis=2)
-                    return seg_step3(sep3, snp3, pv3, carry)
-
-                carry = jax.lax.fori_loop(0, P, seg_body, carry)
-            jn_ok, jn_dist, intron_any = carry
-            j_ok = (pjv > e1_l) & (jn_ok | intron_any)
-            j_dist = jnp.where(jn_ok, jn_dist, pjv - e1_l - 1)
-            ok = base & (g_ok | j_ok)
-            distt = jnp.where(g_ok, gd, j_dist)
-            sc = jnp.where(ok, alpha10 - jnp.abs(distt - rd), _NEG)
-
-            cand = sc + dpl[j][:, None, :]                       # [b, S, St]
-            cv = jnp.max(cand, axis=-1)                          # [b, S]
-            # first-max index (iota+min == jnp.argmax first-occurrence);
-            # ascending-j iteration + strict > keeps the earliest flat
-            # index among equal maxima, matching the flat formulation
-            tio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-            ci = jnp.min(jnp.where(cand == cv[:, :, None], tio, S),
-                         axis=-1) + j * S
-            upd = cv > best_v
-            best_i = jnp.where(upd, ci, best_i)
-            best_v = jnp.where(upd, cv, best_v)
-
-        improve = best_v > dpl[l]
-        dpl[l] = jnp.where(improve, best_v, dpl[l])
-        bkl[l] = jnp.where(improve, best_i, bkl[l])
-
-    return dpl, bkl
-
-
 def extract_kbest(dp10: np.ndarray, back: np.ndarray, pos: np.ndarray,
                   qpos: np.ndarray, cnt: np.ndarray, cfg: Config,
                   k: Optional[int] = None, shift: int = 0) -> List[Chain]:
