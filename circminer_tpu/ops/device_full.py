@@ -426,83 +426,67 @@ def _mr_update_type(mr, type_, apply_mask):
 # annotation relations on padded device arrays (utils.cpp:322-664)
 # --------------------------------------------------------------------------
 
-# All four relations run LANE-MAJOR internally: leading dims flatten to one
-# N that rides the 128-lane minor axis, and the padded seg/tid tables are
-# gathered TRANSPOSED ([SP, N] / [ST, N]) so the pairwise [SP, SP', N] /
-# [ST, ST', N] broadcasts are dense instead of padding their 16-wide minor
-# dim to 128 lanes (measured at ~0.33 s of the fused finish, round 4).
+# annotation relations: row-major trailing [SP/ST] broadcast form.
+# A lane-major rewrite ([SP, SP, N] with flat N minor) measured
+# 4x SLOWER on chip (bisect r4e/r4f: phase2 +0.33 s -> +1.33 s)
+# despite dense lanes - the per-call [N, 16] -> [16, N] transposes
+# and reshapes outweigh the tile padding they avoid at these
+# trailing-dim sizes, so the original form stands.
 
 def _tids_intersect(fa, iv_a, iv_b):
     """same_transcript2 non-emptiness: any shared tid (order-free)."""
-    shp = iv_a.shape
-    a = iv_a.reshape(-1)
-    b = iv_b.reshape(-1)
-    ok = (a >= 0) & (b >= 0)
-    # gather CONTIGUOUS table rows (fast path), then transpose to
-    # lane-major — a transposed-table element gather ran ~70 ns/elem
-    NIV = fa.iv_tids.shape[0]
-    ta = fa.iv_tids[jnp.clip(a, 0, NIV - 1)].T           # [ST, N]
-    tb = fa.iv_tids[jnp.clip(b, 0, NIV - 1)].T
-    eq = (ta[:, None, :] == tb[None, :, :]) & (ta[:, None, :] >= 0)
-    return (ok & jnp.any(eq, axis=(0, 1))).reshape(shp)
+    ok = (iv_a >= 0) & (iv_b >= 0)
+    ta = fa.iv_tids[jnp.clip(iv_a, 0, fa.iv_tids.shape[0] - 1)]
+    tb = fa.iv_tids[jnp.clip(iv_b, 0, fa.iv_tids.shape[0] - 1)]
+    eq = (ta[..., :, None] == tb[..., None, :]) & (ta[..., :, None] >= 0)
+    return ok & jnp.any(eq, axis=(-2, -1))
 
 
 def _same_gene_span(ad, fa, iv, s, e):
     """utils.cpp:617-627: [s, e] inside any gene of iv's seg list."""
-    shp = iv.shape
-    ivf = iv.reshape(-1)
-    sf = s.reshape(-1)
-    ef = e.reshape(-1)
-    ok = ivf >= 0
-    NIV = fa.seg_gene_p.shape[0]
-    ivc = jnp.clip(ivf, 0, NIV - 1)
-    g = fa.seg_gene_p[ivc].T                             # [SP, N]
+    ok = iv >= 0
+    ivc = jnp.clip(iv, 0, fa.seg_gene_p.shape[0] - 1)
+    g = fa.seg_gene_p[ivc]                               # [..., SP]
     nseg = ad.iv_nseg[ivc]
-    pv = (jnp.arange(g.shape[0])[:, None] < nseg[None, :]) & (g >= 0)
-    gc = jnp.clip(g, 0, fa.gene_start.shape[0] - 1)
-    gs = fa.gene_start[gc]
-    ge = fa.gene_end[gc]
-    hit = pv & (gs <= sf[None, :]) & (ef[None, :] <= ge)
-    return (ok & jnp.any(hit, axis=0)).reshape(shp)
+    pv = (jnp.arange(g.shape[-1])[None, :] * jnp.ones_like(g)
+          < nseg[..., None]) & (g >= 0)
+    gs = fa.gene_start[jnp.clip(g, 0, fa.gene_start.shape[0] - 1)]
+    ge = fa.gene_end[jnp.clip(g, 0, fa.gene_end.shape[0] - 1)]
+    hit = pv & (gs <= s[..., None]) & (e[..., None] <= ge)
+    return ok & jnp.any(hit, axis=-1)
 
 
 def _same_gene_iv(ad, fa, iv_a, iv_b):
     """utils.cpp:605-615: shared gene id between two interval seg lists."""
-    shp = iv_a.shape
-    a = iv_a.reshape(-1)
-    b = iv_b.reshape(-1)
-    ok = (a >= 0) & (b >= 0)
-    NIV = fa.seg_gene_p.shape[0]
-    ca = jnp.clip(a, 0, NIV - 1)
-    cb = jnp.clip(b, 0, NIV - 1)
-    ga = fa.seg_gene_p[ca].T                             # [SP, N]
-    gb = fa.seg_gene_p[cb].T
-    ar = jnp.arange(ga.shape[0])[:, None]
-    pa = (ar < ad.iv_nseg[ca][None, :]) & (ga >= 0)
-    pb = (ar < ad.iv_nseg[cb][None, :]) & (gb >= 0)
-    eq = (ga[:, None, :] == gb[None, :, :]) & pa[:, None, :] \
-        & pb[None, :, :]
-    return (ok & jnp.any(eq, axis=(0, 1))).reshape(shp)
+    ok = (iv_a >= 0) & (iv_b >= 0)
+    ca = jnp.clip(iv_a, 0, fa.seg_gene_p.shape[0] - 1)
+    cb = jnp.clip(iv_b, 0, fa.seg_gene_p.shape[0] - 1)
+    ga = fa.seg_gene_p[ca]
+    gb = fa.seg_gene_p[cb]
+    pa = (jnp.arange(ga.shape[-1])[None, :] * jnp.ones_like(ga)
+          < ad.iv_nseg[ca][..., None]) & (ga >= 0)
+    pb = (jnp.arange(gb.shape[-1])[None, :] * jnp.ones_like(gb)
+          < ad.iv_nseg[cb][..., None]) & (gb >= 0)
+    eq = (ga[..., :, None] == gb[..., None, :]) & pa[..., :, None] \
+        & pb[..., None, :]
+    return ok & jnp.any(eq, axis=(-2, -1))
 
 
 def _same_exon(ad, fa, iv_a, iv_b):
     """Identical (start, end) seg across the two lists (common.cpp:128)."""
-    shp = iv_a.shape
-    a = iv_a.reshape(-1)
-    b = iv_b.reshape(-1)
-    ok = (a >= 0) & (b >= 0)
-    NIV = fa.seg_start_p.shape[0]
-    ca = jnp.clip(a, 0, NIV - 1)
-    cb = jnp.clip(b, 0, NIV - 1)
-    sa, ea = fa.seg_start_p[ca].T, ad.seg_end[ca].T      # [SP, N]
-    sb, eb = fa.seg_start_p[cb].T, ad.seg_end[cb].T
-    ar = jnp.arange(sa.shape[0])[:, None]
-    pa = ar < ad.iv_nseg[ca][None, :]
-    pb = ar < ad.iv_nseg[cb][None, :]
-    eq = ((sa[:, None, :] == sb[None, :, :])
-          & (ea[:, None, :] == eb[None, :, :])
-          & pa[:, None, :] & pb[None, :, :])
-    return (ok & jnp.any(eq, axis=(0, 1))).reshape(shp)
+    ok = (iv_a >= 0) & (iv_b >= 0)
+    ca = jnp.clip(iv_a, 0, fa.seg_start_p.shape[0] - 1)
+    cb = jnp.clip(iv_b, 0, fa.seg_start_p.shape[0] - 1)
+    sa, ea = fa.seg_start_p[ca], ad.seg_end[ca]
+    sb, eb = fa.seg_start_p[cb], ad.seg_end[cb]
+    pa = (jnp.arange(sa.shape[-1])[None, :] * jnp.ones_like(sa)
+          < ad.iv_nseg[ca][..., None])
+    pb = (jnp.arange(sb.shape[-1])[None, :] * jnp.ones_like(sb)
+          < ad.iv_nseg[cb][..., None])
+    eq = ((sa[..., :, None] == sb[..., None, :])
+          & (ea[..., :, None] == eb[..., None, :])
+          & pa[..., :, None] & pb[..., None, :])
+    return ok & jnp.any(eq, axis=(-2, -1))
 
 
 def _calc_tlen(ad, fa, sm_iv_e, sm_ind_e, sm_epos, sm_mlen,
