@@ -45,7 +45,7 @@ def _replicated(cfg, ci, ad, reads, lens):
 
 
 def test_shard_index_arrays_cover_all_entries():
-    cfg, ci, ad, reads, lens = _tiny_problem(1)
+    cfg, ci, ad, reads, lens, _db = _tiny_problem(1)
     for d in (1, 3, 8):
         lhv, lcs, lpos, blo, bhi = shard_index_arrays(
             ci, d, window_size=cfg.window_size)
@@ -68,7 +68,7 @@ def test_shard_index_arrays_cover_all_entries():
 def test_sharded_local_lookup_psum_matches_replicated():
     """Sum of per-shard contributions == replicated lookup (pure numpy psum,
     no mesh — validates the owner-computes masking)."""
-    cfg, ci, ad, reads, lens = _tiny_problem(2)
+    cfg, ci, ad, reads, lens, _db = _tiny_problem(2)
     k, cs_len = cfg.kmer, cfg.checksum_len
     pos_ref, cnt_ref, qpos_ref, _, _, _ = _replicated(cfg, ci, ad, reads, lens)
 
@@ -94,7 +94,7 @@ def test_sharded_local_lookup_psum_matches_replicated():
 def test_index_sharded_map_step_matches_replicated(n_devices):
     if len(jax.devices()) < n_devices:
         pytest.skip("needs virtual devices")
-    cfg, ci, ad, reads, lens = _tiny_problem(n_devices)
+    cfg, ci, ad, reads, lens, _db = _tiny_problem(n_devices)
     B = reads.shape[0]
     assert B % n_devices == 0
     pos_ref, cnt_ref, _, dp_ref, back_ref, hh_ref = _replicated(
