@@ -339,7 +339,10 @@ class DeviceMappingPipeline:
             max_sc=cfg.max_sc, band=cfg.band_width, max_tlen=cfg.max_tlen,
             max_intron=cfg.max_intron, seg_pad=self.seg_pad,
             scan_level=cfg.scan_level, KB=6, P_MAX=8, W_MAX=16,
-            OS_POOL=max(2048, B // 4), XD_POOL=max(4096, B // 2),
+            # pool budgets sized from the chr21 deferral histogram
+            # (r4: ospool/xdpool overflow deferred ~35% of reads at
+            # B//4 / B//2; 4x wider pools cost ~0.1 s of pool compute)
+            OS_POOL=max(2048, B), XD_POOL=max(4096, 2 * B),
             EX_ITERS=48, mat=sm.mat, mis=sm.mis, ind=sm.ind, xd=sm.xd)
 
     def _dispatch_full(self, recs, contig: int):

@@ -195,7 +195,8 @@ def main():
             acc = acc + jnp.sum(v.astype(jnp.int32))
         return acc.reshape(1, 1)
 
-    for nm in ("phase1", "lo", "phase2", "pre"):
+    for nm in ("phase1", "lo", "p2_grid", "p2_gath", "p2_ext",
+               "phase2", "pre"):
         stage_fns[f"f_{nm}"] = jax.jit(partial(fin, upto=nm))
 
     want = (list(stage_fns) if args.stages == "all"
