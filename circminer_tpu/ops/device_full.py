@@ -967,6 +967,28 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB,
     lm_c = sel(fwd_left, fm, vm)   # l-mate chain bundle
     rm_c = sel(fwd_left, vm, fm)
 
+    # transcript-block coverage: where every common tid's exon block
+    # contiguously covers the walk window, the walk end DP IS the pooled
+    # genomic DP — clear the multi-exon defer for those pair-sides
+    # (the chr21 deferral histogram is 100% extwalk after pool widening)
+    for mc in (lm_c, rm_c):
+        bc_l = _block_cover(ad, fa, p_fiv, p_riv, mc["iv_l"],
+                            mc["pos_l"], mc["remain_beg"], band=band,
+                            left=True)
+        bc_l = bc_l & p_same_tr & ~mc["covered_l"] & (mc["remain_beg"] > 0)
+        mc["covered_l"] = mc["covered_l"] | bc_l
+        mc["wxL"] = mc["wxL"] & ~bc_l
+        mc["exon_len_l"] = jnp.where(bc_l, mc["remain_beg"] + band,
+                                     mc["exon_len_l"])
+        bc_r = _block_cover(ad, fa, p_fiv, p_riv, mc["iv_r"],
+                            mc["pos_r"], mc["remain_end"], band=band,
+                            left=False)
+        bc_r = bc_r & p_same_tr & ~mc["covered_r"] & (mc["remain_end"] > 0)
+        mc["covered_r"] = mc["covered_r"] | bc_r
+        mc["wxR"] = mc["wxR"] & ~bc_r
+        mc["exon_len_r"] = jnp.where(bc_r, mc["remain_end"] + band,
+                                     mc["exon_len_r"])
+
     # extend_both_mates (extend.cpp:37-125)
     l_mid = lm_c["mid_dp"]
     r_mid = rm_c["mid_dp"]
@@ -1195,6 +1217,79 @@ def _check_2bsj(mr, sm, lm, pre, chr_idx, shift, r1_sm, mask,
     return _update_rule(mr, sm, lm, chr_idx, shift, tl, z,
                         jnp.zeros_like(ok), CHI2BSJ, r1_sm, contig_num,
                         ok & pre["bsj_hit"])
+
+
+def _block_cover(ad, fa, fiv, riv, walk_iv, pos, remain, *, band: int,
+                 left: bool, KIV: int = 4):
+    """True where EVERY common transcript of the pair (tids(fiv) ∩
+    tids(riv)) provably covers remain+band at walk_iv through a
+    CONTIGUOUS exon block — i.e. the transcript walk
+    (extend.cpp:491-650 / 708-875) would do NO middle DP and its end DP
+    window equals the genomic window, so the already-pooled genomic DP
+    slot IS the walk result and the multi-exon defer can clear.
+
+    Exactness: the host walk accumulates interval lengths while the
+    transcript continues (t2s state 2/3; going left, a state-1
+    "starts-here" interval is also accumulated and only triggers a
+    middle DP when coverage is still short after it) and breaks at
+    acc >= remain with end window min(remain+band, acc).  We require
+    every common tid to follow the SAME all-continue interval sequence
+    and the covering accumulation to reach remain+band, which pins the
+    break point, window, and `consecutive` flag identically across
+    tids.  Anything else keeps the defer."""
+    NIV = ad.iv_spos.shape[0]
+    ST = fa.iv_tids.shape[1]
+    NT = fa.trans_start.shape[0]
+    NS = fa.t2s_state.shape[0]
+    fc = jnp.clip(fiv, 0, NIV - 1)
+    rc = jnp.clip(riv, 0, NIV - 1)
+    tf = fa.iv_tids[fc]                                  # [..., ST]
+    tr = fa.iv_tids[rc]
+    is_common = (tf[..., :, None] == tr[..., None, :]).any(-1) & (tf >= 0)
+    wc = jnp.clip(walk_iv, 0, NIV - 1)
+    if left:
+        acc = pos - ad.iv_spos[wc]
+    else:
+        acc = ad.iv_epos[wc] - pos
+    ok = (walk_iv >= 0) & (fiv >= 0) & (riv >= 0) & (acc < remain)
+    tc = jnp.clip(tf, 0, NT - 1)
+    start_ind = fa.trans_start[tc]                       # [..., ST]
+    off = fa.t2s_off[tc]
+    t2l = fa.t2s_off[tc + 1] - off
+
+    def stt_at(ivn):
+        row = ivn[..., None] - start_ind
+        rok = (row >= 0) & (row < t2l)
+        return jnp.where(rok,
+                         fa.t2s_state[jnp.clip(off + row, 0, NS - 1)], 0)
+
+    if left:
+        # the left walk examines the anchor interval itself first
+        # (extend.cpp:708-760): every common tid must continue there
+        st0 = stt_at(walk_iv)
+        cont0 = (st0 >= 2) | ~is_common
+        ok = ok & cont0.all(-1)
+    covered = jnp.zeros_like(ok)
+    for s in range(1, KIV + 1):
+        ivn = walk_iv - s if left else walk_iv + s
+        inb = (ivn >= 0) & (ivn < NIV)
+        act = ok & ~covered & inb
+        ivc2 = jnp.clip(ivn, 0, NIV - 1)
+        step_len = ad.iv_epos[ivc2] - ad.iv_spos[ivc2] + 1
+        acc_after = acc + step_len
+        stt = stt_at(ivn)
+        if left:
+            # state-1 accumulates first; only a still-short state-1
+            # triggers the middle DP (extend.cpp:816)
+            cont = (stt != 0) & ~((stt == 1)
+                                  & (acc_after < remain)[..., None])
+        else:
+            cont = stt >= 2
+        allc = (cont | ~is_common).all(-1)
+        ok = ok & (~act | allc)
+        acc = jnp.where(act & allc, acc_after, acc)
+        covered = covered | (ok & (acc >= remain))
+    return ok & covered & (acc >= remain + band)
 
 
 def _pair_precompute(ad, fa, lmm, rmm, need, *, W_MAX, CT_POOL):
