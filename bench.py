@@ -302,7 +302,7 @@ def main():
             f"{sv.n_dispatch} dispatches, {sv.n_device} device / "
             f"{sv.n_host} host requests\n")
 
-    print(json.dumps({
+    rec = {
         "metric": "pe_reads_per_sec_chip_map_call",
         "value": round(rps, 2),
         "unit": "reads/s",
@@ -316,7 +316,12 @@ def main():
         "events_matched": n_matched,
         "phases": {"setup_s": round(setup_s, 2), "warm_s": round(warm_s, 2),
                    "map_s": round(map_s, 2), "circ_s": round(circ_s, 2)},
-    }))
+    }
+    if pipe.full_stats["reads"]:
+        fs = pipe.full_stats
+        rec["deferred_pct"] = round(100.0 * fs["deferred"] / fs["reads"], 1)
+        rec["defer_causes"] = fs.get("causes", {})
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
