@@ -205,20 +205,29 @@ def _upd_by_score(best, cand, left: bool):
 
 def _extend_core(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
                  walk_dp, walk_ok, gen_dp, gen_ok, *, left: bool,
-                 max_sc: int, band: int):
+                 max_sc: int, band: int, eng=None):
     """All inputs [N] vectors; *_dp dicts with ed/sclen/indel/score.
     walk_ok/gen_ok: the DP ran (window in genome bounds).
-    Returns (ok, new_pos, best, defer) — defer flags multi-exon walks.
+    Returns (ok, new_pos, best, defer).
 
-    Mirrors extend.cpp:285-432 restricted to the covered-first-interval
-    regime; `bound` is lb (left) / ub (right)."""
+    Mirrors extend.cpp:285-432.  The covered-first-interval regime (the
+    anchor exon covers the whole remain window: every common tid's walk
+    breaks immediately into the same end DP, so one pooled DP serves all
+    tids) is handled inline; genuine multi-exon walks arrive through
+    ``eng`` — the device walk engine's folded result (ops/device_walk.py)
+    with ``active``/``best``/``consec``/``defer`` fields.  With eng=None
+    (the leftover chain-level extends, which pass no transcripts) those
+    lanes defer.  `bound` is lb (left) / ub (right)."""
     orig = pos
     best = _ares(pos, ed_th + 1, length + 1,
                  jnp.full_like(pos, band + 1), jnp.zeros_like(pos),
                  jnp.zeros_like(pos))
     covered = iv_ok & (exon_len >= length)
     walk_active = has_tids & iv_ok & (length > 0)
-    defer = walk_active & ~covered
+    if eng is None:
+        defer = walk_active & ~covered
+    else:
+        defer = eng["active"] & eng["defer"]
     # gate (extend.cpp:403/510): bound check decides walk DP vs fallback
     if left:
         gate_ok = pos >= bound + length
@@ -238,6 +247,10 @@ def _extend_core(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
                  jnp.where(w_gate, length, 0), walk_dp["score"])
     upd, _ = _upd_by_score(best, curr, left)
     best = _ares_where(w_gate, upd, best)
+    if eng is not None:
+        ea = eng["active"]
+        best = _ares_where(ea, eng["best"], best)
+        consecutive = consecutive | (ea & eng["consec"])
 
     done = jnp.zeros_like(pos, dtype=jnp.bool_)
     ok_out = jnp.zeros_like(done)
@@ -304,7 +317,7 @@ def _extend_core(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
 
 
 def _extend_core_flat(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
-                      walk_dp, walk_ok, gen_dp, gen_ok, **kw):
+                      walk_dp, walk_ok, gen_dp, gen_ok, eng=None, **kw):
     """_extend_core on FLATTENED operands: the core is pure elementwise,
     and [B, 4, 7] / [B, 2, 8] operand shapes pad their minor dims to
     (8, 128) tiles — flat 1-D runs dense (round-4 bisection: the leftover
@@ -317,10 +330,13 @@ def _extend_core_flat(pos, length, ed_th, bound, has_tids, iv_ok, exon_len,
     def fd(d):
         return {kk: v.reshape(-1) for kk, v in d.items()}
 
+    if eng is not None:
+        eng = dict(active=f(eng["active"]), best=fd(eng["best"]),
+                   consec=f(eng["consec"]), defer=f(eng["defer"]))
     ok, p, best, df = _extend_core(f(pos), f(length), f(ed_th), f(bound),
                                    f(has_tids), f(iv_ok), f(exon_len),
                                    fd(walk_dp), f(walk_ok), fd(gen_dp),
-                                   f(gen_ok), **kw)
+                                   f(gen_ok), eng=eng, **kw)
     return (ok.reshape(shp), p.reshape(shp),
             {kk: v.reshape(shp) for kk, v in best.items()},
             df.reshape(shp))
@@ -834,10 +850,14 @@ def _is_left_chain(a_rp, a_qp, a_len, b_rp, b_qp, b_len, read_len, NL, k):
                      jnp.where(both_in, a_ov >= b_ov, a_beg < b_beg))
 
 
-def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB,
+def _phase2(st, ad, fa, seqs, genome, *, k, max_ed, max_sc, band, P_MAX,
+            KB, mat, mis, ind, xd, EW, KSCAN, WPP, MIDP, ENDP,
             upto="full"):
     """Pair-union table + pair-level paired extension (filter.cpp:485-551
-    + extend.cpp:37-125), vectorized over [B, 2, P_MAX]."""
+    + extend.cpp:37-125), vectorized over [B, 2, P_MAX].  Multi-exon
+    extension walks run through the device walk engine
+    (ops/device_walk.py): speculative waves here, per-family gate folds
+    inside run_side."""
     B, KB1, NL = st["B"], st["KB1"], st["NL"]
     rp4, qp4 = st["rp4"], st["qp4"]
     lens4, cn4 = st["lens4"], st["cn4"]
@@ -944,6 +964,10 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB,
             out[f"dp{side}{var}_{f}"] = g[..., len(SF_NAMES) + fi]
         out["seq_len"] = jnp.broadcast_to(
             st["lens4"][:, rows][..., None], (B, 2, P_MAX))
+        # absolute seqs row of this mate (for walk-engine query windows)
+        out["arow"] = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None, None] * 4
+            + rows[None, :, None], (B, 2, P_MAX))
         return out
 
     if upto == "p2_grid":
@@ -967,28 +991,6 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB,
     lm_c = sel(fwd_left, fm, vm)   # l-mate chain bundle
     rm_c = sel(fwd_left, vm, fm)
 
-    # transcript-block coverage: where every common tid's exon block
-    # contiguously covers the walk window, the walk end DP IS the pooled
-    # genomic DP — clear the multi-exon defer for those pair-sides
-    # (the chr21 deferral histogram is 100% extwalk after pool widening)
-    for mc in (lm_c, rm_c):
-        bc_l = _block_cover(ad, fa, p_fiv, p_riv, mc["iv_l"],
-                            mc["pos_l"], mc["remain_beg"], band=band,
-                            left=True)
-        bc_l = bc_l & p_same_tr & ~mc["covered_l"] & (mc["remain_beg"] > 0)
-        mc["covered_l"] = mc["covered_l"] | bc_l
-        mc["wxL"] = mc["wxL"] & ~bc_l
-        mc["exon_len_l"] = jnp.where(bc_l, mc["remain_beg"] + band,
-                                     mc["exon_len_l"])
-        bc_r = _block_cover(ad, fa, p_fiv, p_riv, mc["iv_r"],
-                            mc["pos_r"], mc["remain_end"], band=band,
-                            left=False)
-        bc_r = bc_r & p_same_tr & ~mc["covered_r"] & (mc["remain_end"] > 0)
-        mc["covered_r"] = mc["covered_r"] | bc_r
-        mc["wxR"] = mc["wxR"] & ~bc_r
-        mc["exon_len_r"] = jnp.where(bc_r, mc["remain_end"] + band,
-                                     mc["exon_len_r"])
-
     # extend_both_mates (extend.cpp:37-125)
     l_mid = lm_c["mid_dp"]
     r_mid = rm_c["mid_dp"]
@@ -1001,7 +1003,54 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB,
                     indel=mc[f"dp{side}{var}_indel"],
                     score=mc[f"dp{side}{var}_score"])
 
-    def run_side(mc, side_left, bound, ed_th):
+    if upto == "p2_gath":
+        out = dict(defer=defer, fwd_left=fwd_left)
+        for kk in ("r0", "q0", "mid_dp", "clen", "dp00_ed", "dp11_score"):
+            out["f_" + kk] = fm.get(kk, fwd_left)
+            out["v_" + kk] = vm.get(kk, fwd_left)
+        return out
+
+    # ---- device walk engine: speculative multi-exon walks ------------
+    # (ops/device_walk.py; extend families 0=l-left 1=r-left 2=r-right
+    # 3=l-right, matching the host extend order extend.cpp:87-95)
+    from .device_walk import walk_waves, walk_fold
+    eng_base = pvalid & success & p_same_tr
+
+    def eng_mask(mc, left_side):
+        if left_side:
+            return eng_base & (mc["iv_l"] >= 0) \
+                & (mc["remain_beg"] > 0) & ~mc["covered_l"]
+        return eng_base & (mc["iv_r"] >= 0) \
+            & (mc["remain_end"] > 0) & ~mc["covered_r"]
+
+    zero3 = jnp.zeros((B, 2, P_MAX), jnp.int32)
+    act4 = jnp.stack([eng_mask(lm_c, True), eng_mask(rm_c, True),
+                      eng_mask(rm_c, False), eng_mask(lm_c, False)])
+    pos4 = jnp.stack([lm_c["pos_l"], rm_c["pos_l"],
+                      rm_c["pos_r"], lm_c["pos_r"]])
+    len4 = jnp.stack([lm_c["remain_beg"], rm_c["remain_beg"],
+                      rm_c["remain_end"], lm_c["remain_end"]])
+    aiv4 = jnp.stack([lm_c["iv_l"], rm_c["iv_l"],
+                      rm_c["iv_r"], lm_c["iv_r"]])
+    row4 = jnp.stack([lm_c["arow"], rm_c["arow"],
+                      rm_c["arow"], lm_c["arow"]])
+    qs04 = jnp.stack([zero3, zero3,
+                      rm_c["seq_len"] - rm_c["remain_end"],
+                      lm_c["seq_len"] - lm_c["remain_end"]])
+    wk = walk_waves(act4.reshape(4, -1), pos4.reshape(4, -1),
+                    len4.reshape(4, -1), aiv4.reshape(4, -1),
+                    row4.reshape(4, -1), qs04.reshape(4, -1),
+                    [1, 1, 0, 0], p_fiv, p_riv, seqs.reshape(-1),
+                    seqs.shape[1], genome, ad, fa, band=band,
+                    max_ed=max_ed, max_sc=max_sc, mat=mat, mis=mis,
+                    ind=ind, xd=xd, EW=EW, KSCAN=KSCAN, WPP=WPP,
+                    MIDP=MIDP, ENDP=ENDP)
+
+    def run_side(mc, side_left, bound, ed_th, fam):
+        eb, ec, edf = walk_fold(wk, fam, ed_th, bound, max_ed=max_ed,
+                                max_sc=max_sc, band=band, left=side_left)
+        eng = dict(active=act4[fam].reshape(B, 2, P_MAX), best=eb,
+                   consec=ec, defer=edf)
         if side_left:
             gen = dp_of(mc, 0, 0)
             walk_extra = mc["wxL"]
@@ -1012,7 +1061,7 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB,
             return _extend_core_flat(
                 mc["pos_l"], mc["remain_beg"], ed_th, bound,
                 has_tids, mc["iv_l"] >= 0, mc["exon_len_l"],
-                walk, walk_ok, gen, mc["genL_inb"],
+                walk, walk_ok, gen, mc["genL_inb"], eng=eng,
                 left=True, max_sc=max_sc, band=band)
         gen = dp_of(mc, 1, 0)
         walk_extra = mc["wxR"]
@@ -1022,27 +1071,23 @@ def _phase2(st, ad, fa, *, k, max_ed, max_sc, band, P_MAX, KB,
         return _extend_core_flat(
             mc["pos_r"], mc["remain_end"], ed_th, bound,
             has_tids, mc["iv_r"] >= 0, mc["exon_len_r"],
-            walk, walk_ok, gen, mc["genR_inb"],
+            walk, walk_ok, gen, mc["genR_inb"], eng=eng,
             left=False, max_sc=max_sc, band=band)
 
-    if upto == "p2_gath":
-        out = dict(defer=defer, fwd_left=fwd_left)
-        for kk in ("r0", "q0", "mid_dp", "clen", "dp00_ed", "dp11_score"):
-            out["f_" + kk] = fm.get(kk, fwd_left)
-            out["v_" + kk] = vm.get(kk, fwd_left)
-        return out
     MINLB = jnp.zeros((B, 2, P_MAX), jnp.int32)
     MAXUBv = jnp.full((B, 2, P_MAX), I32MAX, jnp.int32)
 
-    llok, l_spos, l_bl, dfa = run_side(lm_c, True, MINLB, max_ed - l_mid)
+    llok, l_spos, l_bl, dfa = run_side(lm_c, True, MINLB,
+                                       max_ed - l_mid, 0)
     lerr1 = l_mid + l_bl["ed"]
-    rlok, r_spos, r_bl, dfb = run_side(rm_c, True, l_spos, max_ed - r_mid)
+    rlok, r_spos, r_bl, dfb = run_side(rm_c, True, l_spos,
+                                       max_ed - r_mid, 1)
     rerr1 = r_mid + r_bl["ed"]
     rrok, r_epos, r_br, dfc = run_side(rm_c, False, MAXUBv,
-                                       max_ed - rerr1)
+                                       max_ed - rerr1, 2)
     rerr = rerr1 + r_br["ed"]
     lrok, l_epos, l_br, dfd = run_side(lm_c, False, r_epos,
-                                       max_ed - lerr1)
+                                       max_ed - lerr1, 3)
     lerr = lerr1 + l_br["ed"]
     if upto == "p2_ext":
         return dict(defer=defer, l_spos=l_spos, r_spos=r_spos,
@@ -1219,79 +1264,6 @@ def _check_2bsj(mr, sm, lm, pre, chr_idx, shift, r1_sm, mask,
                         ok & pre["bsj_hit"])
 
 
-def _block_cover(ad, fa, fiv, riv, walk_iv, pos, remain, *, band: int,
-                 left: bool, KIV: int = 4):
-    """True where EVERY common transcript of the pair (tids(fiv) ∩
-    tids(riv)) provably covers remain+band at walk_iv through a
-    CONTIGUOUS exon block — i.e. the transcript walk
-    (extend.cpp:491-650 / 708-875) would do NO middle DP and its end DP
-    window equals the genomic window, so the already-pooled genomic DP
-    slot IS the walk result and the multi-exon defer can clear.
-
-    Exactness: the host walk accumulates interval lengths while the
-    transcript continues (t2s state 2/3; going left, a state-1
-    "starts-here" interval is also accumulated and only triggers a
-    middle DP when coverage is still short after it) and breaks at
-    acc >= remain with end window min(remain+band, acc).  We require
-    every common tid to follow the SAME all-continue interval sequence
-    and the covering accumulation to reach remain+band, which pins the
-    break point, window, and `consecutive` flag identically across
-    tids.  Anything else keeps the defer."""
-    NIV = ad.iv_spos.shape[0]
-    ST = fa.iv_tids.shape[1]
-    NT = fa.trans_start.shape[0]
-    NS = fa.t2s_state.shape[0]
-    fc = jnp.clip(fiv, 0, NIV - 1)
-    rc = jnp.clip(riv, 0, NIV - 1)
-    tf = fa.iv_tids[fc]                                  # [..., ST]
-    tr = fa.iv_tids[rc]
-    is_common = (tf[..., :, None] == tr[..., None, :]).any(-1) & (tf >= 0)
-    wc = jnp.clip(walk_iv, 0, NIV - 1)
-    if left:
-        acc = pos - ad.iv_spos[wc]
-    else:
-        acc = ad.iv_epos[wc] - pos
-    ok = (walk_iv >= 0) & (fiv >= 0) & (riv >= 0) & (acc < remain)
-    tc = jnp.clip(tf, 0, NT - 1)
-    start_ind = fa.trans_start[tc]                       # [..., ST]
-    off = fa.t2s_off[tc]
-    t2l = fa.t2s_off[tc + 1] - off
-
-    def stt_at(ivn):
-        row = ivn[..., None] - start_ind
-        rok = (row >= 0) & (row < t2l)
-        return jnp.where(rok,
-                         fa.t2s_state[jnp.clip(off + row, 0, NS - 1)], 0)
-
-    if left:
-        # the left walk examines the anchor interval itself first
-        # (extend.cpp:708-760): every common tid must continue there
-        st0 = stt_at(walk_iv)
-        cont0 = (st0 >= 2) | ~is_common
-        ok = ok & cont0.all(-1)
-    covered = jnp.zeros_like(ok)
-    for s in range(1, KIV + 1):
-        ivn = walk_iv - s if left else walk_iv + s
-        inb = (ivn >= 0) & (ivn < NIV)
-        act = ok & ~covered & inb
-        ivc2 = jnp.clip(ivn, 0, NIV - 1)
-        step_len = ad.iv_epos[ivc2] - ad.iv_spos[ivc2] + 1
-        acc_after = acc + step_len
-        stt = stt_at(ivn)
-        if left:
-            # state-1 accumulates first; only a still-short state-1
-            # triggers the middle DP (extend.cpp:816)
-            cont = (stt != 0) & ~((stt == 1)
-                                  & (acc_after < remain)[..., None])
-        else:
-            cont = stt >= 2
-        allc = (cont | ~is_common).all(-1)
-        ok = ok & (~act | allc)
-        acc = jnp.where(act & allc, acc_after, acc)
-        covered = covered | (ok & (acc >= remain))
-    return ok & covered & (acc >= remain + band)
-
-
 def _pair_precompute(ad, fa, lmm, rmm, need, *, W_MAX, CT_POOL):
     """Everything the decision rules need that is PAIR-PURE (independent of
     the running mr state), computed over all [B, 2, P_MAX] pairs in one
@@ -1345,12 +1317,19 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
                        genome, ad, fa, *, k, max_ed, max_sc, band,
                        max_tlen, scan_level, contig_num, KB, P_MAX, W_MAX,
                        OS_POOL, XD_POOL, mat, mis, ind, xd, I=128,
-                       CT_POOL=None, upto="full"):
+                       CT_POOL=None, EW=4, KSCAN=16, WPP=None, MIDP=None,
+                       ENDP=None, upto="full"):
     """See module docstring.  Returns (mr_out int32 [B, MRF], defer [B]).
     upto in ("phase1", "lo", "phase2", "pre", "full") cuts the program for
     the on-chip micro-bisection (tools/bisect_device_full.py)."""
     if CT_POOL is None:
         CT_POOL = 4 * (seqs.shape[0] // 4)
+    if WPP is None:
+        WPP = max(512, 2 * (seqs.shape[0] // 4))
+    if MIDP is None:
+        MIDP = max(256, seqs.shape[0] // 8)
+    if ENDP is None:
+        ENDP = max(256, seqs.shape[0] // 4)
     st = _phase1(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in, genome,
                  ad, fa, k=k, max_ed=max_ed, max_sc=max_sc, band=band,
                  KB=KB, OS_POOL=OS_POOL, XD_POOL=XD_POOL, mat=mat, mis=mis,
@@ -1397,8 +1376,10 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
     if upto == "lo":
         return dict(lo_ret=lo_ret, lo_sp=lo_sp, lo_ep=lo_ep,
                     lo_genic=lo_genic), st["defer"]
-    st2 = _phase2(st, ad, fa, k=k, max_ed=max_ed, max_sc=max_sc, band=band,
-                  P_MAX=P_MAX, KB=KB,
+    st2 = _phase2(st, ad, fa, seqs, genome, k=k, max_ed=max_ed,
+                  max_sc=max_sc, band=band, P_MAX=P_MAX, KB=KB, mat=mat,
+                  mis=mis, ind=ind, xd=xd, EW=EW, KSCAN=KSCAN, WPP=WPP,
+                  MIDP=MIDP, ENDP=ENDP,
                   upto=upto if upto.startswith("p2_") else "full")
     defer = st2["defer"]
     if upto.startswith("p2_"):
@@ -1645,14 +1626,16 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
                           "max_intron", "seg_pad", "scan_level",
                           "contig_num", "KB", "P_MAX", "W_MAX", "OS_POOL",
                           "XD_POOL", "EX_ITERS", "mat", "mis", "ind", "xd",
-                          "prefix_shift", "prefix_iters"))
+                          "prefix_shift", "prefix_iters", "EW", "KSCAN",
+                          "WPP", "MIDP", "ENDP"))
 def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
                      entry_pos, genome, ad, fa, entry_prefix=None, *,
                      k, cs_len, n_slots, seed_lim, cap, max_ed, max_sc,
                      band, max_tlen, max_intron, seg_pad, scan_level,
                      contig_num, KB, P_MAX, W_MAX, OS_POOL, XD_POOL,
                      EX_ITERS, mat, mis, ind, xd,
-                     prefix_shift=0, prefix_iters=0):
+                     prefix_shift=0, prefix_iters=0, EW=4, KSCAN=16,
+                     WPP=None, MIDP=None, ENDP=None):
     """THE fused dispatch: lookup -> gather -> chain DP -> k-best ->
     pairing -> extension -> category lattice.  One d2h payload:
     int32 [B, MRF + 1] = final MatchedRead state | defer bit."""
@@ -1670,12 +1653,38 @@ def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
     start_e = start[:, ::2]
     cnt_e = cnt[:, ::2]
     hh_row = jnp.sum(high[:, ::2].astype(jnp.int32), axis=1)
+    cnt_c = jnp.minimum(cnt_e, cap)
+    pos, _ = gather_seeds_device(entry_pos, start_e, cnt_c, cap=cap)
+    return full_from_seeds(
+        seqs, lens, mr_in, pos, cnt_e, hh_row, genome, ad, fa,
+        k=k, cap=cap, max_ed=max_ed, max_sc=max_sc, band=band,
+        max_tlen=max_tlen, max_intron=max_intron, seg_pad=seg_pad,
+        scan_level=scan_level, contig_num=contig_num, KB=KB, P_MAX=P_MAX,
+        W_MAX=W_MAX, OS_POOL=OS_POOL, XD_POOL=XD_POOL, EX_ITERS=EX_ITERS,
+        mat=mat, mis=mis, ind=ind, xd=xd, EW=EW, KSCAN=KSCAN, WPP=WPP,
+        MIDP=MIDP, ENDP=ENDP)
+
+
+def full_from_seeds(seqs, lens, mr_in, pos, cnt_e, hh_row, genome, ad, fa,
+                    *, k, cap, max_ed, max_sc, band, max_tlen, max_intron,
+                    seg_pad, scan_level, contig_num, KB, P_MAX, W_MAX,
+                    OS_POOL, XD_POOL, EX_ITERS, mat, mis, ind, xd, EW=4,
+                    KSCAN=16, WPP=None, MIDP=None, ENDP=None):
+    """The fused step from gathered seeds on: chain DP -> k-best ->
+    finish.  Split out so the index-sharded multi-chip step
+    (parallel/mesh.make_index_sharded_full_step) can feed it seeds from
+    the owner-computes bucket exchange instead of a local lookup —
+    everything downstream is row-local and identical."""
+    from .chain import chain_batch_device
+    from .device_finish import extract_kbest_device
+
+    R4, L = seqs.shape
+    B = R4 // 4
+    NL = (L + k - 1) // k
     ql = (jnp.arange(NL, dtype=jnp.int32) * k)[None, :]
     qpos_e = jnp.where(ql + k <= lens[:, None], ql, 0).astype(jnp.int32)
     occ_defer = (cnt_e > cap).any(axis=1).reshape(B, 4).any(axis=1)
     cnt_c = jnp.minimum(cnt_e, cap)
-
-    pos, _ = gather_seeds_device(entry_pos, start_e, cnt_c, cap=cap)
     dp10, back = chain_batch_device(
         pos, cnt_c, qpos_e, lens,
         ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end, ad.iv_min_end,
@@ -1689,7 +1698,8 @@ def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
         ad, fa, k=k, max_ed=max_ed, max_sc=max_sc, band=band,
         max_tlen=max_tlen, scan_level=scan_level, contig_num=contig_num,
         KB=KB, P_MAX=P_MAX, W_MAX=W_MAX, OS_POOL=OS_POOL, XD_POOL=XD_POOL,
-        mat=mat, mis=mis, ind=ind, xd=xd)
+        mat=mat, mis=mis, ind=ind, xd=xd, EW=EW, KSCAN=KSCAN, WPP=WPP,
+        MIDP=MIDP, ENDP=ENDP)
     defer = defer | DEF_OCC * occ_defer
     return jnp.concatenate([mr_out, defer[:, None].astype(jnp.int32)],
                            axis=1)

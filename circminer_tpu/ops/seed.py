@@ -204,7 +204,9 @@ def build_device_prefix(entry_hv, window_size: int):
     n = int(entry_hv.shape[0])
     if n == 0:
         return None, 0, 1
-    p = min(12, max(1, int(np.ceil(np.log2(max(2, n)) / 2))))
+    # p must not exceed window_size, or shift below goes negative
+    # (undefined device shift) for window_size <= 11 + large tables
+    p = min(12, window_size, max(1, int(np.ceil(np.log2(max(2, n)) / 2))))
     shift = 2 * window_size - 2 * p
     q = (np.asarray(entry_hv) >> shift).astype(np.int64)
     counts = np.bincount(q, minlength=1 << (2 * p))

@@ -76,7 +76,14 @@ def make_genome(rng: np.random.Generator, length: int = 100_000,
                 exon_len: Tuple[int, int] = (150, 400),
                 intron_len: Tuple[int, int] = (200, 800),
                 chrom: str = "chr1", dup_frac: float = 0.0,
-                gene_prefix: Optional[str] = None) -> SimGenome:
+                gene_prefix: Optional[str] = None,
+                n_isoforms: int = 2, bnd_jitter: int = 0) -> SimGenome:
+    """``n_isoforms``/``bnd_jitter`` > defaults give Ensembl-density
+    annotation: each extra isoform randomly skips middle exons and
+    jitters exon boundaries into the flanking introns, which fragments
+    the disjoint-interval tree (many state-2/3 continuation intervals
+    per exon) the way dense real annotation does — the regime the
+    device extension walk must cross (extend.cpp:491-650)."""
     codes = rng.integers(0, 4, size=length, dtype=np.uint8)
     # segmental duplications for realistic seed multiplicity: copy random
     # 1-5 kb windows over random destinations until ~dup_frac of the genome
@@ -112,6 +119,32 @@ def make_genome(rng: np.random.Generator, length: int = 100_000,
         if exons_per_gene >= 3:
             skip = exons[:1] + exons[2:]
             txs.append(SimTranscript(t2, gid, skip))
+        # Ensembl-density extras: random skips + boundary jitter
+        for iso in range(2, n_isoforms):
+            ex = list(exons)
+            if len(ex) >= 3 and rng.random() < 0.7:
+                drop = int(rng.integers(1, len(ex) - 1))
+                ex = ex[:drop] + ex[drop + 1:]
+            if bnd_jitter > 0:
+                jex = []
+                for (s, e) in ex:
+                    if rng.random() < 0.5:
+                        s = max(1, s - int(rng.integers(0, bnd_jitter + 1)))
+                    if rng.random() < 0.5:
+                        e = min(length, e + int(rng.integers(
+                            0, bnd_jitter + 1)))
+                    jex.append((s, e))
+                # keep exons disjoint within the isoform
+                ex = []
+                for (s, e) in jex:
+                    if ex and s <= ex[-1][1]:
+                        s = ex[-1][1] + 1
+                    if s <= e:
+                        ex.append((s, e))
+            if ex:
+                tname = (f"T{gi + 1}.{iso + 1}" if gene_prefix is None
+                         else f"{gid}.T{iso + 1}")
+                txs.append(SimTranscript(tname, gid, ex))
         genes.append(SimGene(gid, exons[0][0], exons[-1][1], strand, txs))
         pos += gene_gap
         if exons[-1][1] + gene_gap // 2 > length:
