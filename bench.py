@@ -55,6 +55,13 @@ def main():
                          "-e knob, commandline_parser.cpp:7-26); prints one "
                          "JSON line per e plus the standard line for the "
                          "default e=4")
+    ap.add_argument("--repeat", type=int, default=None,
+                    help="run the timed map+call region N times on fresh "
+                         "read-state and report the best (default 3 for "
+                         "the chr21 headline config, 1 for --smoke/--toy; "
+                         "run-to-run spread goes in the JSON so progress "
+                         "claims survive the 2-vCPU contention trap, "
+                         "HW_NOTES.md)")
     ap.add_argument("--exec", dest="chain_exec", default="auto",
                     choices=["auto", "device", "device-chain", "native",
                              "wave", "device-full"],
@@ -233,36 +240,49 @@ def main():
     pipe.warmup()
     warm_s = time.time() - t0
 
-    t0 = time.time()
-    n = pipe.map_stream(iter(pairs))
-    map_s = time.time() - t0
-
+    repeat = args.repeat
+    if repeat is None:
+        repeat = 1 if (args.smoke or args.toy or args.profile_circ
+                       or args.dump_events) else 3
+    runs = []
     from circminer_tpu.utils.timing import GLOBAL_TIMER as _T
-    t0 = time.time()
-    with _T.phase("circ_select"):
-        bsj = [(r1, r2) for r1, r2 in pairs
-               if r1.mr.type in (CHIBSJ, CHI2BSJ)]
-        for r1, _ in bsj:
-            r1.mr.genome_spos = r1.mr.spos_r1
-        bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
-    pc = ProcessCirc(db, gi, cfg, os.path.join("/tmp", "bench_out"))
-    if args.circ_device:
-        pc.run(bsj, device_ext=True)
-        circ_s = time.time() - t0
-        args.profile_circ = None
-    elif args.profile_circ:
-        import cProfile
-        prof = cProfile.Profile()
-        prof.enable()
-        pc.run(bsj)
-        prof.disable()
-        prof.dump_stats(args.profile_circ)
-    else:
-        pc.run(bsj)
-    circ_s = time.time() - t0
+    for rep in range(repeat):
+        if rep > 0:
+            # fresh per-read state: the mapping mutates mr in place
+            pairs = [make_pair(r, cfg.max_ed) for r in reads]
+        t0 = time.time()
+        n = pipe.map_stream(iter(pairs))
+        map_s = time.time() - t0
 
+        t0 = time.time()
+        with _T.phase("circ_select"):
+            bsj = [(r1, r2) for r1, r2 in pairs
+                   if r1.mr.type in (CHIBSJ, CHI2BSJ)]
+            for r1, _ in bsj:
+                r1.mr.genome_spos = r1.mr.spos_r1
+            bsj.sort(key=lambda pr: pr[0].mr.genome_spos)
+        pc = ProcessCirc(db, gi, cfg, os.path.join("/tmp", "bench_out"))
+        if args.circ_device:
+            pc.run(bsj, device_ext=True)
+            circ_s = time.time() - t0
+            args.profile_circ = None
+        elif args.profile_circ:
+            import cProfile
+            prof = cProfile.Profile()
+            prof.enable()
+            pc.run(bsj)
+            prof.disable()
+            prof.dump_stats(args.profile_circ)
+        else:
+            pc.run(bsj)
+        circ_s = time.time() - t0
+        runs.append(dict(rps=n / (map_s + circ_s) if map_s + circ_s > 0
+                         else 0.0, map_s=map_s, circ_s=circ_s))
+
+    best_run = max(runs, key=lambda r: r["rps"])
+    map_s, circ_s = best_run["map_s"], best_run["circ_s"]
     total_s = map_s + circ_s
-    rps = n / total_s if total_s > 0 else 0.0
+    rps = best_run["rps"]
 
     n_conc = sum(1 for r1, _ in pairs if r1.mr.type == CONCRD)
     n_bsj_reads = len(bsj)
@@ -321,6 +341,11 @@ def main():
         "phases": {"setup_s": round(setup_s, 2), "warm_s": round(warm_s, 2),
                    "map_s": round(map_s, 2), "circ_s": round(circ_s, 2)},
     }
+    if len(runs) > 1:
+        rvals = [round(r["rps"], 2) for r in runs]
+        rec["runs"] = rvals
+        rec["spread_pct"] = round(
+            100.0 * (max(rvals) - min(rvals)) / max(rvals), 1)
     if pipe.full_stats["reads"]:
         fs = pipe.full_stats
         rec["deferred_pct"] = round(100.0 * fs["deferred"] / fs["reads"], 1)

@@ -11,11 +11,12 @@ Scope and exactness: rows whose work fits the fixed structural budget are
 finished on-device with results bit-identical to the host pipeline (pinned
 by tests/test_device_full.py); everything else raises a per-read DEFER bit
 and is replayed through the host C++ path, so the overall output is always
-bit-exact.  Deferred shapes: seed occupancy > cap, > KB chains, > P_MAX
-candidate mate-pairs, multi-exon extension walks (extend.cpp:491-650 —
-the walk visits more than the first interval), calc_tlen walks longer than
-W_MAX intervals, padded annotation overflows, leftover-extension reads
-whose pair sets were mis-predicted, and DP pool overflows.
+bit-exact.  Multi-exon extension walks (extend.cpp:491-650/708-875) run on
+device through the speculative walk engine (ops/device_walk.py).  Deferred
+shapes: seed occupancy > cap, > KB chains, > P_MAX candidate mate-pairs,
+walks exceeding the engine's wave/scan/pool budgets, calc_tlen walks
+longer than W_MAX intervals, padded annotation overflows, leftover-
+extension reads whose pair sets were mis-predicted, and DP pool overflows.
 
 Extension DPs are *compacted*: every potential DP site (middle-gap
 one-sided DPs, per-chain end/genomic X-drop DPs) is a fixed slot; active

@@ -140,6 +140,71 @@ def make_sharded_full_step(mesh: Mesh, statics: dict, *, contig_num: int = 0,
                               out_specs=out_spec))
 
 
+def make_index_sharded_full_step(mesh: Mesh, statics: dict, *,
+                                 shard_batch: int, contig_num: int = 0):
+    """The COMPLETE fused device-full map step with the ENTRY TABLE
+    bucket-range sharded over the mesh — the only configuration that fits
+    GRCh38's ~30.6 GB entry table on 16 GB chips (HW_NOTES "GRCh38 HBM
+    sizing"; SURVEY §5 long-context analog).
+
+    Composition: reads and incoming MatchedRead state are dp-sharded;
+    each chip all-gathers the full query batch over ICI, answers the
+    k-mers whose window hash falls in its bucket range (owner-computes,
+    ops/seed.lookup_gather_sharded_local), contributions combine with
+    psum — then each chip slices back its own read rows and runs the
+    ENTIRE fused finish (chain DP -> k-best -> pairing -> extension walks
+    -> category lattice, ops/device_full.full_from_seeds) against the
+    replicated genome/annotation.  Per-row outputs are bit-identical to
+    the replicated-index step: the exchanged (pos, cnt, high) tensors are
+    exactly what the local lookup produces, and everything downstream is
+    row-local.
+
+    ``shard_batch`` = per-shard PAIR count (global B = D * shard_batch).
+    Returns a jitted fn(seqs, lens, mr_in, hv_sh, cs_sh, pos_sh, blo,
+    bhi, genome, ad, fa) -> int32 [B, MRF+1] blob sharded dp.
+    """
+    from ..ops.device_full import full_from_seeds
+    from ..ops.seed import lookup_gather_sharded_local
+
+    st = dict(statics)
+    for key in ("cs_len", "n_slots", "seed_lim", "prefix_shift",
+                "prefix_iters"):
+        st.pop(key, None)
+    cs_len = statics["cs_len"]
+    n_slots = statics["n_slots"]
+    seed_lim = statics["seed_lim"]
+
+    def inner(seqs, lens, mr_in, lhv, lcs, lpos, blo, bhi, genome, ad,
+              fa):
+        # full query batch on every chip (rides ICI)
+        seqs_g = jax.lax.all_gather(seqs, "dp", axis=0, tiled=True)
+        lens_g = jax.lax.all_gather(lens, "dp", axis=0, tiled=True)
+        _, pos, cnt, high = lookup_gather_sharded_local(
+            seqs_g, lens_g, lhv[0], lcs[0], lpos[0], blo[0], bhi[0],
+            k=st["k"], cs_len=cs_len, n_slots=n_slots, seed_lim=seed_lim,
+            cap=st["cap"])
+        pos = jax.lax.psum(pos, "dp")
+        cnt = jax.lax.psum(cnt, "dp")
+        high = jax.lax.psum(high, "dp")
+        i = jax.lax.axis_index("dp")
+        rows = 4 * shard_batch
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, i * rows, rows, axis=0)
+
+        hh_row = sl(high).sum(axis=1)
+        return full_from_seeds(
+            sl(seqs_g), sl(lens_g), mr_in, sl(pos), sl(cnt), hh_row,
+            genome, ad, fa, contig_num=contig_num, **st)
+
+    in_spec = (P("dp", None), P("dp"), P("dp", None),
+               P("dp", None), P("dp", None), P("dp", None), P("dp"),
+               P("dp"), P(), P(), P())
+    out_spec = P("dp", None)
+    return jax.jit(_shard_map(inner, mesh=mesh, in_specs=in_spec,
+                              out_specs=out_spec))
+
+
 def shard_index_arrays(ci, n_shards: int, window_size: int = 14):
     """Split a ContigIndex's bucket space into ``n_shards`` contiguous
     ranges for HBM sharding (SURVEY §5: the full-GRCh38 index payload

@@ -343,7 +343,13 @@ class DeviceMappingPipeline:
             # (r4: ospool/xdpool overflow deferred ~35% of reads at
             # B//4 / B//2; 4x wider pools cost ~0.1 s of pool compute)
             OS_POOL=max(2048, B), XD_POOL=max(4096, 2 * B),
-            EX_ITERS=48, mat=sm.mat, mis=sm.mis, ind=sm.ind, xd=sm.xd)
+            EX_ITERS=48, mat=sm.mat, mis=sm.mis, ind=sm.ind, xd=sm.xd,
+            # walk-engine budgets (ops/device_walk.py): EW DP waves of
+            # KSCAN-interval scans over a WPP-lane pool; unresolved lanes
+            # defer (DEF_EXTWALK), so these trade pool compute for
+            # deferral rate, never correctness
+            EW=4, KSCAN=16, WPP=max(512, 2 * B),
+            MIDP=max(256, B // 2), ENDP=max(256, B))
 
     def _dispatch_full(self, recs, contig: int):
         from ..ops.device_full import device_full_step, MRF

@@ -190,3 +190,66 @@ def test_sharded_full_step_matches_single_device(tmp_path):
     np.testing.assert_array_equal(got, want)
     # and the run must have produced real (non-default) state somewhere
     assert (got[:, 0] != mr_in[:, 0]).any()
+
+
+def test_index_sharded_full_step_matches_single_device(tmp_path):
+    """The complete fused step with the ENTRY TABLE bucket-sharded over
+    the mesh (owner-computes lookup + psum exchange feeding the full
+    finish) == the replicated single-device program, bit-for-bit — the
+    GRCh38-on-16GB-chips configuration (SURVEY §5, HW_NOTES HBM sizing)."""
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "virtual mesh missing"
+    cfg, gi, db, reads = _world(tmp_path, n_pairs=32)
+    cfg = Config(**{**cfg.__dict__, "max_read_len": 100, "threads": 1})
+
+    pipe = DeviceMappingPipeline(db, gi, cfg, batch_size=len(reads),
+                                 chain_exec="device-full")
+    st = pipe.states[0]
+    statics = pipe._full_statics()
+    nf = pipe.filters[0]
+    from circminer_tpu.pipeline.types import MatchedRead as MR
+    from circminer_tpu.ops.filter_native import NativeFilter
+    from circminer_tpu.ops.device_full import device_full_step
+
+    B = len(reads)
+    L = cfg.max_read_len
+    seqs = np.zeros((4 * B, L), np.int8)
+    lens = np.zeros(4 * B, np.int32)
+    for i, r in enumerate(reads):
+        s1, s2 = encode_seq(r.r1), encode_seq(r.r2)
+        for o, s in enumerate((s1, revcomp(s1), s2, revcomp(s2))):
+            seqs[4 * i + o, :len(s)] = s
+            lens[4 * i + o] = len(s)
+    default_row = NativeFilter.mr_to_state(MR.default(cfg.max_ed),
+                                           nf.chr_names)
+    mr_in = np.ascontiguousarray(
+        np.tile(default_row, (B, 1)).astype(np.int32))
+
+    want = np.asarray(device_full_step(
+        jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(mr_in),
+        st.entry_hv, st.entry_checksum, st.entry_pos,
+        pipe.full_genome[0], st.anno, pipe.full_anno[0],
+        st.entry_prefix, contig_num=0, prefix_shift=st.prefix_shift,
+        prefix_iters=st.prefix_iters, **statics))
+
+    from circminer_tpu.parallel.mesh import (make_mesh, shard_reads,
+                                             replicate, shard_index,
+                                             make_index_sharded_full_step)
+    mesh = make_mesh(n_dev)
+    step = make_index_sharded_full_step(mesh, statics,
+                                        shard_batch=B // n_dev,
+                                        contig_num=0)
+    args = [shard_reads(mesh, jnp.asarray(seqs)),
+            shard_reads(mesh, jnp.asarray(lens)),
+            shard_reads(mesh, jnp.asarray(mr_in))]
+    args.extend(shard_index(mesh, gi.contigs[0],
+                            window_size=cfg.window_size))
+    args.append(replicate(mesh, pipe.full_genome[0]))
+    for a in (st.anno, pipe.full_anno[0]):
+        args.append(jax.tree_util.tree_map(
+            lambda x: replicate(mesh, x), a))
+    got = np.asarray(step(*args))
+
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+    assert (got[:, 0] != mr_in[:, 0]).any()
