@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import List, TextIO
 
-from ..config import (CONCRD, CHIORF, CONGEN, CONGNM)
+from ..config import (CONCRD, CHIORF, CHI2BSJ, CONGEN, CONGNM)
 from ..io.fasta import ContigLen
 from ..ops.encode import decode_seq
 from .types import MatchedRead
@@ -19,7 +19,12 @@ MREVER = 1 << 5
 FIPAIR = 1 << 6
 SIPAIR = 1 << 7
 
+# SAM unmapped-flag gate (output.cpp:125): BSJ classes count as UNMAPPED
 _MAPPED_TYPES = lambda t: t <= CHIORF or t == CONGEN or t == CONGNM
+# PAM coordinate gate (output.cpp:289-290) additionally prints the BSJ
+# classes — pinned by the cross-binary PAM diff against the stub-built
+# reference binary (tools/refbuild)
+_PAM_TYPES = lambda t: t <= CHI2BSJ or t == CONGEN or t == CONGNM
 
 
 def set_flag_pe(mr: MatchedRead, first: bool) -> int:
@@ -69,7 +74,7 @@ class SamOutput:
     # output.cpp:280-299
     def write_pam_pe(self, rec1: ReadRecord, rec2: ReadRecord):
         mr = rec1.mr
-        if _MAPPED_TYPES(mr.type):
+        if _PAM_TYPES(mr.type):
             r1d = "+" if mr.r1_forward else "-"
             r2d = "+" if mr.r2_forward else "-"
             self.fh.write(
