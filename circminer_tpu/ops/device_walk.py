@@ -327,10 +327,28 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         (i_abs, xpos, exlen, covered, first, stat, pend_iv, pend_xpos,
          pend_exlen, pend_cov, pend_rr, remref) = carry
 
+        # ---- tid dedup: transcripts of the same pair-side usually walk
+        # the SAME intervals (the host memoizes exactly these repeats,
+        # extend.py align_res) — only geometry-unique lanes enter the
+        # pools; duplicates read their leader's result ----------------
+        def dedup(mask, fields):
+            eq = mask[:, None, :] & mask[None, :, :]
+            for f in fields:
+                eq = eq & (f[:, None, :] == f[None, :, :])
+            t_io = jnp.arange(ST, dtype=jnp.int32)
+            lead = jnp.min(jnp.where(eq, t_io[None, :, None], ST),
+                           axis=1)                     # [ST, WPP]
+            lead = jnp.where(mask, lead, t_io[:, None])
+            return lead, mask & (lead == t_io[:, None])
+
+        def by_lead(res, lead):
+            return jnp.take_along_axis(res, lead, axis=0)
+
         # ---- middle/trailing DP pool ---------------------------------
         m_act = (stat == WK_PMID) | (stat == WK_PTRAIL)
+        m_lead, m_uniq = dedup(m_act, (pend_xpos, pend_exlen, pend_cov))
         mp = MIDP[w] if isinstance(MIDP, (tuple, list)) else MIDP
-        m_inv, m_n, m_over = _compact(m_act.reshape(-1), mp)
+        m_inv, m_n, m_over = _compact(m_uniq.reshape(-1), mp)
 
         def mg(x, m_inv=m_inv):
             return x.reshape(-1)[m_inv]
@@ -360,15 +378,16 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         r_win = jnp.where(ml[:, None], r_r, r_f)
         md_ed, md_in = _end_dp_pool(q_win, r_win, m_remq, m_exlen,
                                     w=band, max_ed=max_ed, I=I)
-        md_ed_f = _scatter_pool(md_ed, m_inv, m_n,
-                                ST * WPP).reshape(ST, WPP)
-        md_in_f = _scatter_pool(md_in, m_inv, m_n,
-                                ST * WPP).reshape(ST, WPP)
+        md_ed_f = by_lead(_scatter_pool(md_ed, m_inv, m_n,
+                                        ST * WPP).reshape(ST, WPP), m_lead)
+        md_in_f = by_lead(_scatter_pool(md_in, m_inv, m_n,
+                                        ST * WPP).reshape(ST, WPP), m_lead)
 
         # ---- end DP pool (X-drop) ------------------------------------
         e_act = stat == WK_PEND
+        e_lead, e_uniq = dedup(e_act, (pend_xpos, pend_cov, pend_rr))
         ep = ENDP[w] if isinstance(ENDP, (tuple, list)) else ENDP
-        e_inv, e_n, e_over = _compact(e_act.reshape(-1), ep)
+        e_inv, e_n, e_over = _compact(e_uniq.reshape(-1), ep)
 
         def eg(x, e_inv=e_inv):
             return x.reshape(-1)[e_inv]
@@ -408,19 +427,20 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         e_scl = jnp.where(el, sclL, sclR)
         e_ind = jnp.where(el, indL, indR)
         e_scr = jnp.where(el, scrL, scrR)
-        e_ed_f = _scatter_pool(e_ed, e_inv, e_n,
-                               ST * WPP).reshape(ST, WPP)
-        e_scl_f = _scatter_pool(e_scl, e_inv, e_n,
-                                ST * WPP).reshape(ST, WPP)
-        e_ind_f = _scatter_pool(e_ind, e_inv, e_n,
-                                ST * WPP).reshape(ST, WPP)
-        e_scr_f = _scatter_pool(e_scr, e_inv, e_n,
-                                ST * WPP).reshape(ST, WPP)
+        e_ed_f = by_lead(_scatter_pool(e_ed, e_inv, e_n,
+                                       ST * WPP).reshape(ST, WPP), e_lead)
+        e_scl_f = by_lead(_scatter_pool(e_scl, e_inv, e_n,
+                                        ST * WPP).reshape(ST, WPP), e_lead)
+        e_ind_f = by_lead(_scatter_pool(e_ind, e_inv, e_n,
+                                        ST * WPP).reshape(ST, WPP), e_lead)
+        e_scr_f = by_lead(_scatter_pool(e_scr, e_inv, e_n,
+                                        ST * WPP).reshape(ST, WPP), e_lead)
 
         # pool-overflow lanes keep their pending status: they retry in
         # the next wave's pool and defer if still unresolved at the end
-        m_over2 = m_over.reshape(ST, WPP)
-        e_over2 = e_over.reshape(ST, WPP)
+        # (duplicates inherit their leader's overflow)
+        m_over2 = by_lead(m_over.reshape(ST, WPP), m_lead)
+        e_over2 = by_lead(e_over.reshape(ST, WPP), e_lead)
 
         # ---- commit: emit events + advance ---------------------------
         mid_c = (stat == WK_PMID) & ~m_over2

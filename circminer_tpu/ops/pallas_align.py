@@ -23,6 +23,18 @@ Two interchangeable executors:
 Both match ops/align.py (the host oracle) bit-exactly on inputs where the
 banded path applies (n > 2w and m > w for the edit kernels; the host
 routes tiny/degenerate cases to the oracle).
+
+RETIREMENT DECISION (round 5, mirrors the chain-kernel retirement in
+HW_NOTES "Round-4 device-full compute rework"): the Mosaic kernels are
+DEMOTED to tests-only validated alternates.  Measured on the real v5e
+(HW_NOTES 2026-08-19, B=4096, block_b=512, compiled Mosaic): xdrop
+20.83 ms/batch vs 11.72 for the lax.scan form; edit_sc 12.43 vs 9.42 —
+at I=128 diagonals the scan forms already saturate the VPU and the
+Pallas variants only add launch/layout overhead.  Every production
+caller (ops/device_full.py, ops/device_walk.py, ops/align_device.py)
+uses the ``*_ref`` scan forms; the ``*_pallas`` twins stay for the
+bit-parity tests (tests/test_pallas_align.py) and as the starting point
+if a future chip generation shifts the balance.
 """
 
 from __future__ import annotations

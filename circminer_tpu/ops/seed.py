@@ -53,12 +53,15 @@ def lookup_read_host(codes: np.ndarray, ci: ContigIndex, cfg: Config):
     count = np.zeros(n_slots, dtype=np.int32)
     high = np.zeros(n_slots, dtype=bool)
 
+    from ..utils import logging as ulog
     slot = 0
+    n_valid = 0
     for i in range(0, L, k):
         if L - i < k:
             break
         qpos[slot] = i
         fh = hash_at(codes, i, k)
+        occ = 0
         if fh >= 0:
             hv = fh >> (2 * cs_len)
             cv = fh & ((1 << (2 * cs_len)) - 1) if cs_len else 0
@@ -67,12 +70,20 @@ def lookup_read_host(codes: np.ndarray, ci: ContigIndex, cfg: Config):
             l = np.searchsorted(sub, cv, side="left")
             r = np.searchsorted(sub, cv, side="right")
             c = int(r - l)
+            occ = c
             if c > cfg.seed_lim:
                 high[slot] = True
                 c = 0
+            else:
+                n_valid += 1 if occ > 0 else 0
             count[slot] = c
             start[slot] = lo + l
+        if ulog.TRACE_LEVEL >= 2:  # match_read.cpp:227
+            ulog.vaf(2, "Occ: %d\tind: %d\tmatch len: %d", occ, i, k)
         slot += 2
+    if ulog.TRACE_LEVEL >= 1:  # match_read.cpp:281
+        ulog.vaf(1, "Non-OV valids: %d", n_valid)
+        ulog.vaf(1, "OV valids: %d", 0)
     return SeedHits(qpos, start, count, high)
 
 

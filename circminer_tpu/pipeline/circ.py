@@ -193,6 +193,9 @@ class ProcessCirc:
         idx = idx[idx < len(h)]
         hv_arr = h[idx]
         ok = hv_arr >= 0
+        if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:692 (N inside kmer)
+            for _ in range(int((~ok).sum())):
+                ulog.vaf(2, "Hash val not found!!!")
         qpos_arr = idx[ok].astype(np.int32)
         if len(qpos_arr) == 0:
             return []
@@ -220,16 +223,20 @@ class ProcessCirc:
         # keep the prefix of chains with non-increasing missed-kmer count
         # (process_circ.cpp:716-736)
         kmer_cnt = len(qpos_list)
+        if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:717
+            ulog.vaf(2, "Allowed missing kmers: %d",
+                     (qepos - qspos + 1) // 20 * 3 + 1)
         least_miss = INF
         kept = []
         for ch in chains:
             missing = kmer_cnt - ch.chain_len
+            if ulog.TRACE_LEVEL >= 2:  # :723 (also for the breaking one)
+                ulog.vaf(2, "Actual missing: %d", missing)
             if missing > least_miss:
                 break
             least_miss = missing
             kept.append(ch)
-            if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:717-733
-                ulog.vaf(2, "Actual missing: %d", missing)
+            if ulog.TRACE_LEVEL >= 1:  # :733 frag dump
                 for i, fr in enumerate(ch.frags):
                     ulog.vaf(1, "#%d\tfrag[%d]: %d\t%d\t%d",
                              len(kept) - 1, i, fr.rpos - shift, fr.qpos,
@@ -877,9 +884,22 @@ class ProcessCirc:
             return
         if r1_len < self.window_size or r2_len < self.window_size:
             self.call_circ_single_split(rec1, rec2)
+        if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:545-548
+            ulog.vaf(2, "R1 partial: [%d-%d]", r1_qspos, r1_qepos)
+            ulog.vaf(2, "remain: %s",
+                     decode_seq(r1_remain[r1_qspos - 1:r1_qepos]))
+            ulog.vaf(2, "R2 partial: [%d-%d]", r2_qspos, r2_qepos)
+            ulog.vaf(2, "remain: %s",
+                     decode_seq(r2_remain[r2_qspos - 1:r2_qepos]))
         gene_iv = self.db.gene_overlap(self.contig, mr.spos_r1)
         if gene_iv is None:
+            ulog.vaf(2, "Gene not found!")  # process_circ.cpp:525
             return
+        ca0 = self.db.contigs[self.contig]
+        if ulog.TRACE_LEVEL >= 2:  # process_circ.cpp:528
+            ulog.vaf(2, "# Gene overlaps: %d",
+                     int(ca0.gv_seg_off[gene_iv + 1]
+                         - ca0.gv_seg_off[gene_iv]))
         mm_r1 = MatchedMate.from_matched_read(mr, 1, rec1.seq_len, True)
         mm_r2 = MatchedMate.from_matched_read(mr, 2, rec2.seq_len, True)
         ca = self.db.contigs[self.contig]
@@ -930,6 +950,13 @@ class ProcessCirc:
                     if r1_pm.type == CONCRD and r2_pm.type == CONCRD:
                         con_shift = get_shift(self.db.con2chr, self.contig,
                                               mm_r1.spos)
+                        if ulog.TRACE_LEVEL >= 2:  # :605-608
+                            ulog.vaf(2, "R1 Partial Coordinates: [%d-%d]",
+                                     r1_pm.spos - con_shift.shift,
+                                     r1_pm.epos - con_shift.shift)
+                            ulog.vaf(2, "R2 Partial Coordinates: [%d-%d]",
+                                     r2_pm.spos - con_shift.shift,
+                                     r2_pm.epos - con_shift.shift)
                         cr = CircRes()
                         typ = self.check_split_map_double(
                             mm_r1, mm_r2, r1_pm, r2_pm, cr)
@@ -1092,7 +1119,9 @@ class ProcessCirc:
                 import sys
                 sys.stderr.write(f"[circ] native stage-2 unavailable "
                                  f"({e}); using python path\n")
-        for rec1, rec2 in pairs:
+        for line, (rec1, rec2) in enumerate(pairs):
+            # process_circ.cpp:290 counts streamed FASTQ records
+            ulog.vaf(2, "Line: %d", line)
             if rec1.mr.contig_num != self.contig:
                 self.load_contig(rec1.mr.contig_num)
             self.call_circ(rec1, rec2)

@@ -353,10 +353,10 @@ class DeviceMappingPipeline:
             # every wave regardless of occupancy; overflowed lanes retry
             # the next wave before deferring
             EW=4, KSCAN=16, WPP=max(512, 2 * B),
-            MIDP=(max(256, B // 4), max(256, B // 8),
+            MIDP=(max(512, B // 4), max(256, B // 8),
                   max(128, B // 16), max(128, B // 16)),
-            ENDP=(max(256, B // 2), max(256, B // 4),
-                  max(128, B // 16), max(128, B // 16)))
+            ENDP=(max(1024, B // 2), max(512, B // 4),
+                  max(256, B // 16), max(256, B // 16)))
 
     def _dispatch_full(self, recs, contig: int):
         from ..ops.device_full import device_full_step, MRF

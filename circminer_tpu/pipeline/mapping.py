@@ -119,6 +119,11 @@ class Mapper:
         db, c, cfg = self.db, self.contig, self.cfg
         pairs, f_paired, r_paired = self.pair_chains(
             forward_chain, backward_chain, mr.type)
+        if ulog.TRACE_LEVEL >= 1:  # filter.cpp:260-263
+            ulog.vaf(1, "#pairs = %d", len(pairs))
+            for i, mp in enumerate(pairs):
+                ulog.vaf(2, "Mate[%d]: %d, %d", i,
+                         int(mp.forward.rpos[0]), int(mp.reverse.rpos[0]))
 
         min_ret1 = ORPHAN
         min_ret2 = ORPHAN
@@ -350,23 +355,34 @@ class Mapper:
                          rec1.rname, mr.type, len(fc_r1), len(bc_r1),
                          len(fc_r2), len(bc_r2), mr.spos_r1, mr.epos_r1)
 
+        if ulog.TRACE_LEVEL >= 2:  # filter.cpp:202
+            ulog.vaf(2, "Scores: fc1=%f, bc1=%f, fc2=%f, bc2=%f",
+                     fc1_score, bc1_score, fc2_score, bc2_score)
         if fc1_score + bc2_score >= fc2_score + bc1_score:
+            if ulog.TRACE_LEVEL >= 1:  # filter.cpp:207
+                ulog.vaf(1, "Forward R1 / Backward R2")
             att1 = yield from self.process_mates_g(fc_r1, rec1, bc_r2, rec2,
                                                    mr, True)
             if cfg.scan_level == 0 and att1 == CONCRD:
                 _decision_trace()
                 return CONCRD
+            if ulog.TRACE_LEVEL >= 1:  # filter.cpp:214
+                ulog.vaf(1, "Backward R1 / Forward R2")
             att2 = yield from self.process_mates_g(fc_r2, rec2, bc_r1, rec1,
                                                    mr, False)
             if cfg.scan_level == 0 and att2 == CONCRD:
                 _decision_trace()
                 return CONCRD
         else:
+            if ulog.TRACE_LEVEL >= 1:  # filter.cpp:224
+                ulog.vaf(1, "Backward R1 / Forward R2")
             att1 = yield from self.process_mates_g(fc_r2, rec2, bc_r1, rec1,
                                                    mr, False)
             if cfg.scan_level == 0 and att1 == CONCRD:
                 _decision_trace()
                 return CONCRD
+            if ulog.TRACE_LEVEL >= 1:  # filter.cpp:231
+                ulog.vaf(1, "Forward R1 / Backward R2")
             att2 = yield from self.process_mates_g(fc_r1, rec1, bc_r2, rec2,
                                                    mr, True)
             if cfg.scan_level == 0 and att2 == CONCRD:
