@@ -201,8 +201,11 @@ class DeviceMappingPipeline:
             if chain_exec in ("device", "device-chain", "auto",
                               "device-full"):
                 st.entry_hv = jnp.asarray(ci.entry_hv)
-                st.entry_checksum = jnp.asarray(
-                    ci.entry_checksum.astype(np.int32))
+                # int16 on device: the composite bisect upcasts per probe
+                # (ops/seed._bisect_hv_cv), and a GRCh38 contig's ~1.05 G
+                # entries save 4.2 GB of HBM vs int32 (10 B/entry total,
+                # HW_NOTES "GRCh38 HBM sizing")
+                st.entry_checksum = jnp.asarray(ci.entry_checksum)
                 st.entry_pos = jnp.asarray(ci.entry_pos)
                 from ..ops.seed import build_device_prefix
                 pref, st.prefix_shift, st.prefix_iters = \
