@@ -89,10 +89,13 @@ def _tiny_end(s, t, n, m, *, w, max_ed, NM, MM):
 
     best_key, best_ed, best_indel = upd_cand(jnp.int32(0), row, best_key,
                                              best_ed, best_indel)
-    for i in range(1, NM + 1):
-        si = s[:, i - 1]
+
+    def body(carry, i):
+        row, bk, be, bi = carry
+        si = jnp.take_along_axis(s, jnp.clip(i - 1, 0, NM - 1)
+                                 [None, None].repeat(B, 0), axis=1)[:, 0]
         prev = row
-        cols = [jnp.where(i <= n, jnp.int32(i), POS)]
+        cols = [jnp.where(i <= n, i, POS)]
         for j in range(1, MM + 1):
             tj = t[:, j - 1]
             mis = ((si != tj) | (si >= 4) | (tj >= 4)).astype(jnp.int32)
@@ -101,10 +104,15 @@ def _tiny_end(s, t, n, m, *, w, max_ed, NM, MM):
             v = jnp.where((i <= n) & (j <= m), v, POS)
             cols.append(v)
         new = jnp.stack(cols, axis=1)
-        row = jnp.where((i <= n)[:, None], new, row)
-        best_key, best_ed, best_indel = upd_cand(jnp.int32(i), row,
-                                                 best_key, best_ed,
-                                                 best_indel)
+        row = jnp.where((i <= n)[:, None], new, prev)
+        bk, be, bi = upd_cand(i, row, bk, be, bi)
+        return (row, bk, be, bi), None
+
+    # scan over rows (traces the MM-wide body once, not NM times — the
+    # fully unrolled form measurably bloated the axon compile)
+    (row, best_key, best_ed, best_indel), _ = jax.lax.scan(
+        body, (row, best_key, best_ed, best_indel),
+        jnp.arange(1, NM + 1, dtype=jnp.int32))
     return best_ed, best_indel
 
 
@@ -320,7 +328,15 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         nev = jnp.where(mask, nev + 1, nev)
         return events, nev
 
-    for w in range(EW):
+    # uniform per-wave pool sizes so the whole wave runs as ONE traced
+    # lax.scan body (the Python-unrolled EW-wave form quadrupled the
+    # already ~40-min axon compile); tuple schedules collapse to max
+    mp = max(MIDP) if isinstance(MIDP, (tuple, list)) else MIDP
+    ep = max(ENDP) if isinstance(ENDP, (tuple, list)) else ENDP
+
+    def wave_body(wcarry, _):
+        (i_abs, xpos, exlen, covered, first, stat, pend_iv, pend_xpos,
+         pend_exlen, pend_cov, pend_rr, remref, nev, events) = wcarry
         carry = (i_abs, xpos, exlen, covered, first, stat, pend_iv,
                  pend_xpos, pend_exlen, pend_cov, pend_rr, remref)
         carry = jax.lax.fori_loop(0, KSCAN, scan_step, carry)
@@ -347,7 +363,6 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         # ---- middle/trailing DP pool ---------------------------------
         m_act = (stat == WK_PMID) | (stat == WK_PTRAIL)
         m_lead, m_uniq = dedup(m_act, (pend_xpos, pend_exlen, pend_cov))
-        mp = MIDP[w] if isinstance(MIDP, (tuple, list)) else MIDP
         m_inv, m_n, m_over = _compact(m_uniq.reshape(-1), mp)
 
         def mg(x, m_inv=m_inv):
@@ -386,7 +401,6 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         # ---- end DP pool (X-drop) ------------------------------------
         e_act = stat == WK_PEND
         e_lead, e_uniq = dedup(e_act, (pend_xpos, pend_cov, pend_rr))
-        ep = ENDP[w] if isinstance(ENDP, (tuple, list)) else ENDP
         e_inv, e_n, e_over = _compact(e_uniq.reshape(-1), ep)
 
         def eg(x, e_inv=e_inv):
@@ -471,6 +485,16 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
                           jnp.where(mid_c & is_left, pend_iv - 1, i_abs))
         stat = jnp.where(mid_c, WK_SCAN,
                          jnp.where(tr_c | end_c | endnd_c, WK_DONE, stat))
+        return (i_abs, xpos, exlen, covered, first, stat, pend_iv,
+                pend_xpos, pend_exlen, pend_cov, pend_rr, remref, nev,
+                events), None
+
+    wcarry = (i_abs, xpos, exlen, covered, first, stat, pend_iv,
+              pend_xpos, pend_exlen, pend_cov, pend_rr, remref, nev,
+              events)
+    wcarry, _ = jax.lax.scan(wave_body, wcarry, None, length=EW)
+    (i_abs, xpos, exlen, covered, first, stat, pend_iv, pend_xpos,
+     pend_exlen, pend_cov, pend_rr, remref, nev, events) = wcarry
 
     lane_defer = jnp.any((stat != WK_DONE) & act, axis=0)      # [WPP]
     return dict(events=events.reshape(ST * EW, EV_NF, WPP), act=act,

@@ -351,15 +351,12 @@ class DeviceMappingPipeline:
             # KSCAN-interval scans over a WPP-lane pool; unresolved lanes
             # defer (DEF_EXTWALK), so these trade pool compute for
             # deferral rate, never correctness
-            # decreasing per-wave pool schedule: most lanes resolve in
-            # waves 0-1, and a pooled DP kernel costs its STATIC size
-            # every wave regardless of occupancy; overflowed lanes retry
-            # the next wave before deferring
+            # uniform per-wave pools (the wave loop is ONE lax.scan body,
+            # so pool size is the only per-wave cost knob); tid dedup
+            # keeps demand near the unique-walk count, and overflowed
+            # lanes retry the next wave before deferring
             EW=4, KSCAN=16, WPP=max(512, 2 * B),
-            MIDP=(max(512, B // 4), max(256, B // 8),
-                  max(128, B // 16), max(128, B // 16)),
-            ENDP=(max(1024, B // 2), max(512, B // 4),
-                  max(256, B // 16), max(256, B // 16)))
+            MIDP=max(512, B // 8), ENDP=max(1024, B // 4))
 
     def _dispatch_full(self, recs, contig: int):
         from ..ops.device_full import device_full_step, MRF
