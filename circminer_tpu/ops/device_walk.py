@@ -320,7 +320,8 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
 
     def emit(events, nev, mask, kind, xp, aux, ed, indel, sclen, scr):
         """Append one event per masked lane at its next slot."""
-        upd = jnp.stack([jnp.full_like(xp, kind), xp, aux, ed, indel,
+        kind_a = jnp.broadcast_to(jnp.asarray(kind, jnp.int32), xp.shape)
+        upd = jnp.stack([kind_a, xp, aux, ed, indel,
                          sclen, scr], axis=1)          # [ST, NF, WPP]
         sel = (ew_io[None, :, None] == jnp.clip(nev, 0, EW - 1)[:, None, :]
                ) & mask[:, None, :]                    # [ST, EW, WPP]
@@ -456,19 +457,28 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         m_over2 = by_lead(m_over.reshape(ST, WPP), m_lead)
         e_over2 = by_lead(e_over.reshape(ST, WPP), e_lead)
 
-        # ---- commit: emit events + advance ---------------------------
+        # ---- commit: ONE fused emit per wave (kinds are mutually
+        # exclusive per lane, and each [ST, EW, NF, WPP] event write
+        # streams ~60 MB — four separate emits measurably cost) --------
         mid_c = (stat == WK_PMID) & ~m_over2
         tr_c = (stat == WK_PTRAIL) & ~m_over2
         end_c = (stat == WK_PEND) & ~e_over2
         endnd_c = stat == WK_PENDND
-        events, nev = emit(events, nev, mid_c, EVK_MID, pend_xpos,
-                           pend_exlen, md_ed_f, md_in_f, zero, -md_ed_f)
-        events, nev = emit(events, nev, tr_c, EVK_TRAIL, pend_xpos,
-                           pend_exlen, md_ed_f, md_in_f, zero, -md_ed_f)
-        events, nev = emit(events, nev, end_c, EVK_END, pend_xpos,
-                           pend_cov, e_ed_f, e_ind_f, e_scl_f, e_scr_f)
-        events, nev = emit(events, nev, endnd_c, EVK_ENDND, pend_xpos,
-                           pend_cov, zero, zero, zero, zero)
+        any_c = mid_c | tr_c | end_c | endnd_c
+        is_end_ev = end_c | endnd_c
+        kind_v = jnp.where(mid_c, EVK_MID,
+                           jnp.where(tr_c, EVK_TRAIL,
+                                     jnp.where(end_c, EVK_END,
+                                               EVK_ENDND)))
+        aux_v = jnp.where(is_end_ev, pend_cov, pend_exlen)
+        ed_v = jnp.where(end_c, e_ed_f, jnp.where(endnd_c, zero, md_ed_f))
+        in_v = jnp.where(end_c, e_ind_f, jnp.where(endnd_c, zero,
+                                                   md_in_f))
+        scl_v = jnp.where(end_c, e_scl_f, zero)
+        scr_v = jnp.where(end_c, e_scr_f,
+                          jnp.where(endnd_c, zero, -md_ed_f))
+        events, nev = emit(events, nev, any_c, kind_v, pend_xpos, aux_v,
+                           ed_v, in_v, scl_v, scr_v)
 
         # middle commit: covered/remref advance + rescan positioning
         covered = jnp.where(mid_c, covered + pend_exlen - md_in_f,

@@ -355,7 +355,7 @@ class DeviceMappingPipeline:
             # so pool size is the only per-wave cost knob); tid dedup
             # keeps demand near the unique-walk count, and overflowed
             # lanes retry the next wave before deferring
-            EW=4, KSCAN=16, WPP=max(512, 2 * B),
+            EW=4, KSCAN=12, WPP=max(512, (3 * B) // 2),
             MIDP=max(512, B // 8), ENDP=max(1024, B // 4))
 
     def _dispatch_full(self, recs, contig: int):
