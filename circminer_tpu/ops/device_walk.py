@@ -267,9 +267,13 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
         end_geo = (ended | brk) & ~trail_geo & (covered < qlen_b) \
             & (exlen >= need)
         rr2 = jnp.minimum(remref, exlen)
-        e_inb = jnp.where(is_left,
-                          (xpos - rr2 >= 1) & (xpos - 1 <= G),
-                          (xpos + 1 >= 1) & (xpos + rr2 <= G))
+        # rr2 can go negative after several indel-bearing flushes
+        # (remain_ref_len -= exon_len, extend.py:421/545): the host's
+        # genome.get(_, len < 0) returns None -> no DP but consec set
+        e_inb = (rr2 >= 0) & jnp.where(
+            is_left,
+            (xpos - rr2 >= 1) & (xpos - 1 <= G),
+            (xpos + 1 >= 1) & (xpos + rr2 <= G))
         to_end = end_geo & e_inb
         to_endnd = end_geo & ~e_inb   # consec candidate, no DP
         to_done = (ended | brk) & ~to_trail & ~to_end & ~to_endnd
