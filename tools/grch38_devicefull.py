@@ -71,9 +71,10 @@ def main():
     # contig lengths without loading the other contigs' codes: each
     # contig's extent is the max chromosome end in the packed map
     lengths = [0] * n_contigs
+    base = min(x.contig_id for x in info)
     for cl in info:
-        ci_id = cl.contig - min(x.contig for x in info)
-        lengths[ci_id] = max(lengths[ci_id], cl.end)
+        ci_id = cl.contig_id - base
+        lengths[ci_id] = max(lengths[ci_id], cl.end_pos)
     lengths[0] = ci0.codes.shape[0]
     t0 = time.time()
     db = AnnotationDB.from_gtf(
