@@ -395,14 +395,25 @@ def _chain_prelude(pos, cnt, qpos, seq_len,
         jnp.minimum(posf + read_remain + max_ed, max_end_intr - k + 1))
 
     # exonic: aggregates, recomputed over segs ending >= epos when the kmer
-    # crosses the interval end
-    se_iv = seg_end[iv_c]            # [B, M, P]
-    sn_iv = seg_next[iv_c]
-    pvalid = (jnp.arange(seg_pad)[None, None, :] < iv_nseg[iv_c][..., None])
-    sel = pvalid & (se_iv >= epos[..., None])
-    max_end_rc = jnp.max(jnp.where(sel, se_iv, 0), axis=-1)
-    min_end_rc = jnp.min(jnp.where(sel, se_iv, jnp.int32(10**9)), axis=-1)
-    max_next_rc = jnp.max(jnp.where(sel, sn_iv, 0), axis=-1)
+    # crosses the interval end.  Folded one seg COLUMN at a time: the
+    # [rows, seg_pad] gather tiles seg_pad=16 to 128 lanes (8x padding),
+    # which at a GRCh38 contig's row count materialized 2 x 3.75 GB of
+    # HLO temp and OOM'd the 16 GB chip — 16 dense per-column gathers
+    # with running reductions need no wide temp at all.
+    nseg_iv = iv_nseg[iv_c]
+    seg_end_T = seg_end.T
+    seg_next_T = seg_next.T
+    max_end_rc = jnp.zeros_like(epos)
+    min_end_rc = jnp.full_like(epos, jnp.int32(10**9))
+    max_next_rc = jnp.zeros_like(epos)
+    for p in range(seg_pad):
+        se_p = seg_end_T[p][iv_c]
+        sn_p = seg_next_T[p][iv_c]
+        ok = (p < nseg_iv) & (se_p >= epos)
+        max_end_rc = jnp.maximum(max_end_rc, jnp.where(ok, se_p, 0))
+        min_end_rc = jnp.minimum(min_end_rc,
+                                 jnp.where(ok, se_p, jnp.int32(10**9)))
+        max_next_rc = jnp.maximum(max_next_rc, jnp.where(ok, sn_p, 0))
     need_rc = epos > iv_epos[iv_c]
     max_end = jnp.where(need_rc, max_end_rc, iv_max_end[iv_c])
     min_end = jnp.where(need_rc, min_end_rc, iv_min_end[iv_c])
