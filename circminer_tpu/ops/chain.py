@@ -262,7 +262,7 @@ def _chain_dp_core_lanes(posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
     Returns (dpl, bkl): per-list [S, b] score / flat-backpointer pieces.
     """
     b = posf.shape[0]
-    P = sep_c.shape[-1]
+    P = sep_c.shape[1]
     alpha10 = jnp.int32(200000) * k
 
     pos_T = posf.T                                   # [M, b]
@@ -270,9 +270,10 @@ def _chain_dp_core_lanes(posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
     ub_T = ub.T
     mee_T = mee.T
     e1_T = e1.T
-    sep_T = jnp.moveaxis(sep_c, 0, -1)               # [M, P, b]
-    snp_T = jnp.moveaxis(snp_c, 0, -1)
-    pv_T = jnp.moveaxis(pv_c, 0, -1)
+    # sep/snp/pv arrive lane-major [M, P, b] from the prelude
+    sep_T = sep_c
+    snp_T = snp_c
+    pv_T = pv_c
 
     def seg(a, l):
         return a[l * S:(l + 1) * S]
@@ -434,15 +435,25 @@ def _chain_prelude(pos, cnt, qpos, seq_len,
     ol_iv = jnp.where(nb & found & exonic, iv_c, -1)
 
     # ---- per-cell constants + pre-gathered junction tables ----
+    # built LANE-MAJOR [M, P, b] from per-column dense gathers: the
+    # [rows, P=16] form tiles its minor dim to 128 lanes (8x padding;
+    # 3.75 GB of HLO temp at GRCh38 row counts — same OOM as the seg
+    # aggregates above)
     e1 = posf + k - 1                                            # [B, M]
     has_iv = ol_iv >= 0
     iv_cc = jnp.clip(ol_iv, 0, n_iv - 1)
-    sep_c = seg_end[iv_cc]                                       # [B, M, P]
-    snp_c = seg_next[iv_cc]
-    pv_c = has_iv[..., None] & (
-        jnp.arange(seg_pad)[None, None, :] < iv_nseg[iv_cc][..., None])
+    seg_end_T2 = seg_end.T
+    seg_next_T2 = seg_next.T
+    nseg_cc = iv_nseg[iv_cc]                                     # [B, M]
+    sep_T = jnp.stack([seg_end_T2[p][iv_cc].T for p in range(seg_pad)],
+                      axis=1)                                    # [M, P, b]
+    snp_T = jnp.stack([seg_next_T2[p][iv_cc].T for p in range(seg_pad)],
+                      axis=1)
+    pv_T = (has_iv.T[:, None, :]
+            & (jnp.arange(seg_pad, dtype=jnp.int32)[None, :, None]
+               < nseg_cc.T[:, None, :]))                         # [M, P, b]
 
-    return posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c
+    return posf, qposf, validf, ub, mee, e1, sep_T, snp_T, pv_T
 
 
 def extract_kbest(dp10: np.ndarray, back: np.ndarray, pos: np.ndarray,
