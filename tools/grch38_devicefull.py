@@ -89,7 +89,7 @@ def main():
 
     import jax
     try:
-        ms = jax.devices()[0].memory_stats()
+        ms = jax.devices()[0].memory_stats() or {}
         log(f"device memory after upload: "
             f"{ms.get('bytes_in_use', 0) / 2**30:.2f} GiB in use / "
             f"{ms.get('bytes_limit', 0) / 2**30:.2f} GiB limit")
@@ -117,7 +117,7 @@ def main():
     from circminer_tpu.config import CONCRD
     n_conc = sum(1 for r1, _ in pairs if r1.mr.type == CONCRD)
     try:
-        ms2 = jax.devices()[0].memory_stats()
+        ms2 = jax.devices()[0].memory_stats() or {}
     except Exception:
         ms2 = {}
     rec = {
