@@ -217,12 +217,12 @@ _NEG = -(2 ** 29)
 
 
 @partial(jax.jit, static_argnames=("k", "max_ed", "max_intron", "seg_pad",
-                                   "max_ub_fallback"))
+                                   "max_ub_fallback", "seg_compact"))
 def chain_batch_device(pos, cnt, qpos, seq_len,
                        nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
                        iv_max_next, iv_nseg, seg_end, seg_next,
                        *, k: int, max_ed: int, max_intron: int, seg_pad: int,
-                       max_ub_fallback: int = 0):
+                       max_ub_fallback: int = 0, seg_compact: bool = False):
     """Batched chain DP.
 
     pos:  int32 [B, NL, S] seed positions (ascending per list, 0 pad)
@@ -238,7 +238,7 @@ def chain_batch_device(pos, cnt, qpos, seq_len,
     pre = _chain_prelude(pos, cnt, qpos, seq_len, nb_bits, iv_spos, iv_epos,
                          iv_max_end, iv_min_end, iv_max_next, iv_nseg,
                          seg_end, seg_next, k=k, max_ed=max_ed,
-                         seg_pad=seg_pad)
+                         seg_pad=seg_pad, seg_compact=seg_compact)
     posf, qposf, validf, ub, mee, e1, sep_c, snp_c, pv_c = pre
     dpl, bkl = _chain_dp_core_lanes(posf, qposf, validf, ub, mee, e1,
                                     sep_c, snp_c, pv_c, NL=NL, S=S, k=k,
@@ -355,7 +355,8 @@ def _chain_dp_core_lanes(posf, qposf, validf, ub, mee, e1, sep_c, snp_c,
 def _chain_prelude(pos, cnt, qpos, seq_len,
                    nb_bits, iv_spos, iv_epos, iv_max_end, iv_min_end,
                    iv_max_next, iv_nseg, seg_end, seg_next,
-                   *, k: int, max_ed: int, seg_pad: int):
+                   *, k: int, max_ed: int, seg_pad: int,
+                   seg_compact: bool = False):
     """Per-cell upper bounds + pre-gathered junction tables (the
     annotation-dependent half of the chain DP; cheap, gather-heavy XLA)."""
     B, NL, S = pos.shape
@@ -396,25 +397,39 @@ def _chain_prelude(pos, cnt, qpos, seq_len,
         jnp.minimum(posf + read_remain + max_ed, max_end_intr - k + 1))
 
     # exonic: aggregates, recomputed over segs ending >= epos when the kmer
-    # crosses the interval end.  Folded one seg COLUMN at a time: the
-    # [rows, seg_pad] gather tiles seg_pad=16 to 128 lanes (8x padding),
-    # which at a GRCh38 contig's row count materialized 2 x 3.75 GB of
-    # HLO temp and OOM'd the 16 GB chip — 16 dense per-column gathers
-    # with running reductions need no wide temp at all.
-    nseg_iv = iv_nseg[iv_c]
-    seg_end_T = seg_end.T
-    seg_next_T = seg_next.T
-    max_end_rc = jnp.zeros_like(epos)
-    min_end_rc = jnp.full_like(epos, jnp.int32(10**9))
-    max_next_rc = jnp.zeros_like(epos)
-    for p in range(seg_pad):
-        se_p = seg_end_T[p][iv_c]
-        sn_p = seg_next_T[p][iv_c]
-        ok = (p < nseg_iv) & (se_p >= epos)
-        max_end_rc = jnp.maximum(max_end_rc, jnp.where(ok, se_p, 0))
-        min_end_rc = jnp.minimum(min_end_rc,
-                                 jnp.where(ok, se_p, jnp.int32(10**9)))
-        max_next_rc = jnp.maximum(max_next_rc, jnp.where(ok, sn_p, 0))
+    # crosses the interval end.  TWO forms with a measured tradeoff
+    # (HW_NOTES round-5): the [rows, seg_pad=16] row-gather pads its
+    # minor dim 8x — ~3.2-3.75 GB of HLO temp per table, FAST on chip
+    # (one 64 B row move per index) but too big next to a >= 10 GB
+    # GRCh38-contig entry table; the per-column fold needs no wide temp
+    # but 16 separate gathers ran the chr21 fused map ~70% SLOWER.
+    # seg_compact picks the slim form only when HBM is actually tight.
+    if seg_compact:
+        nseg_iv = iv_nseg[iv_c]
+        seg_end_T = seg_end.T
+        seg_next_T = seg_next.T
+        max_end_rc = jnp.zeros_like(epos)
+        min_end_rc = jnp.full_like(epos, jnp.int32(10**9))
+        max_next_rc = jnp.zeros_like(epos)
+        for p in range(seg_pad):
+            se_p = seg_end_T[p][iv_c]
+            sn_p = seg_next_T[p][iv_c]
+            ok = (p < nseg_iv) & (se_p >= epos)
+            max_end_rc = jnp.maximum(max_end_rc, jnp.where(ok, se_p, 0))
+            min_end_rc = jnp.minimum(
+                min_end_rc, jnp.where(ok, se_p, jnp.int32(10**9)))
+            max_next_rc = jnp.maximum(max_next_rc,
+                                      jnp.where(ok, sn_p, 0))
+    else:
+        se_iv = seg_end[iv_c]            # [B, M, P]
+        sn_iv = seg_next[iv_c]
+        pvalid = (jnp.arange(seg_pad)[None, None, :]
+                  < iv_nseg[iv_c][..., None])
+        sel = pvalid & (se_iv >= epos[..., None])
+        max_end_rc = jnp.max(jnp.where(sel, se_iv, 0), axis=-1)
+        min_end_rc = jnp.min(jnp.where(sel, se_iv, jnp.int32(10**9)),
+                             axis=-1)
+        max_next_rc = jnp.max(jnp.where(sel, sn_iv, 0), axis=-1)
     need_rc = epos > iv_epos[iv_c]
     max_end = jnp.where(need_rc, max_end_rc, iv_max_end[iv_c])
     min_end = jnp.where(need_rc, min_end_rc, iv_min_end[iv_c])
@@ -435,20 +450,21 @@ def _chain_prelude(pos, cnt, qpos, seq_len,
     ol_iv = jnp.where(nb & found & exonic, iv_c, -1)
 
     # ---- per-cell constants + pre-gathered junction tables ----
-    # built LANE-MAJOR [M, P, b] from per-column dense gathers: the
-    # [rows, P=16] form tiles its minor dim to 128 lanes (8x padding;
-    # 3.75 GB of HLO temp at GRCh38 row counts — same OOM as the seg
-    # aggregates above)
+    # lane-major [M, P, b]; same seg_compact tradeoff as above
     e1 = posf + k - 1                                            # [B, M]
     has_iv = ol_iv >= 0
     iv_cc = jnp.clip(ol_iv, 0, n_iv - 1)
-    seg_end_T2 = seg_end.T
-    seg_next_T2 = seg_next.T
     nseg_cc = iv_nseg[iv_cc]                                     # [B, M]
-    sep_T = jnp.stack([seg_end_T2[p][iv_cc].T for p in range(seg_pad)],
-                      axis=1)                                    # [M, P, b]
-    snp_T = jnp.stack([seg_next_T2[p][iv_cc].T for p in range(seg_pad)],
-                      axis=1)
+    if seg_compact:
+        seg_end_T2 = seg_end.T
+        seg_next_T2 = seg_next.T
+        sep_T = jnp.stack([seg_end_T2[p][iv_cc].T
+                           for p in range(seg_pad)], axis=1)  # [M, P, b]
+        snp_T = jnp.stack([seg_next_T2[p][iv_cc].T
+                           for p in range(seg_pad)], axis=1)
+    else:
+        sep_T = jnp.moveaxis(seg_end[iv_cc], 0, -1)           # [M, P, b]
+        snp_T = jnp.moveaxis(seg_next[iv_cc], 0, -1)
     pv_T = (has_iv.T[:, None, :]
             & (jnp.arange(seg_pad, dtype=jnp.int32)[None, :, None]
                < nseg_cc.T[:, None, :]))                         # [M, P, b]

@@ -1628,7 +1628,7 @@ def device_full_finish(seqs, lens, hh, rp, qp, cl, sc10, cn, inc, mr_in,
                           "contig_num", "KB", "P_MAX", "W_MAX", "OS_POOL",
                           "XD_POOL", "EX_ITERS", "mat", "mis", "ind", "xd",
                           "prefix_shift", "prefix_iters", "EW", "KSCAN",
-                          "WPP", "MIDP", "ENDP"))
+                          "WPP", "MIDP", "ENDP", "seg_compact"))
 def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
                      entry_pos, genome, ad, fa, entry_prefix=None, *,
                      k, cs_len, n_slots, seed_lim, cap, max_ed, max_sc,
@@ -1636,7 +1636,7 @@ def device_full_step(seqs, lens, mr_in, entry_hv, entry_checksum,
                      contig_num, KB, P_MAX, W_MAX, OS_POOL, XD_POOL,
                      EX_ITERS, mat, mis, ind, xd,
                      prefix_shift=0, prefix_iters=0, EW=4, KSCAN=16,
-                     WPP=None, MIDP=None, ENDP=None):
+                     WPP=None, MIDP=None, ENDP=None, seg_compact=False):
     """THE fused dispatch: lookup -> gather -> chain DP -> k-best ->
     pairing -> extension -> category lattice.  One d2h payload:
     int32 [B, MRF + 1] = final MatchedRead state | defer bit."""
@@ -1670,7 +1670,8 @@ def full_from_seeds(seqs, lens, mr_in, pos, cnt_e, hh_row, genome, ad, fa,
                     *, k, cap, max_ed, max_sc, band, max_tlen, max_intron,
                     seg_pad, scan_level, contig_num, KB, P_MAX, W_MAX,
                     OS_POOL, XD_POOL, EX_ITERS, mat, mis, ind, xd, EW=4,
-                    KSCAN=16, WPP=None, MIDP=None, ENDP=None):
+                    KSCAN=16, WPP=None, MIDP=None, ENDP=None,
+                    seg_compact=False):
     """The fused step from gathered seeds on: chain DP -> k-best ->
     finish.  Split out so the index-sharded multi-chip step
     (parallel/mesh.make_index_sharded_full_step) can feed it seeds from
@@ -1690,7 +1691,8 @@ def full_from_seeds(seqs, lens, mr_in, pos, cnt_e, hh_row, genome, ad, fa,
         pos, cnt_c, qpos_e, lens,
         ad.nb_bits, ad.iv_spos, ad.iv_epos, ad.iv_max_end, ad.iv_min_end,
         ad.iv_max_next, ad.iv_nseg, ad.seg_end, ad.seg_next,
-        k=k, max_ed=max_ed, max_intron=max_intron, seg_pad=seg_pad)
+        k=k, max_ed=max_ed, max_intron=max_intron, seg_pad=seg_pad,
+        seg_compact=seg_compact)
     rp, qp, cl, sc10, cn, inc = extract_kbest_device(
         dp10, back, pos, qpos_e, cnt_c, k=k, C=KB + 1, iters=EX_ITERS)
 

@@ -356,7 +356,13 @@ class DeviceMappingPipeline:
             # keeps demand near the unique-walk count, and overflowed
             # lanes retry the next wave before deferring
             EW=4, KSCAN=12, WPP=max(512, (3 * B) // 2),
-            MIDP=max(512, B // 8), ENDP=max(1024, B // 4))
+            MIDP=max(512, B // 8), ENDP=max(1024, B // 4),
+            # slim per-column seg tables only when the entry table is big
+            # enough that the fast 8x-padded row-gather temps (~3-4 GB
+            # each) would not fit beside it (HW_NOTES round-5: the slim
+            # form costs ~70% at chr21; the wide form OOMs at GRCh38)
+            seg_compact=max(c.entry_hv.shape[0]
+                            for c in self.gi.contigs) > 300_000_000)
 
     def _dispatch_full(self, recs, contig: int):
         from ..ops.device_full import device_full_step, MRF
