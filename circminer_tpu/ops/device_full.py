@@ -153,17 +153,24 @@ def _drop_wrap(score, on_s, on_t, m, *, mat, mis, w, max_ed, max_sc, left):
 
 def _compact(active_flat, limit):
     """active [S] bool -> (pool->flat gather index [limit], n_active,
-    overflow flat mask [S]).  Pool rows >= n_active gather flat slot 0 —
-    callers must scatter results back through `_scatter_pool` which dumps
-    them."""
-    idx = jnp.cumsum(active_flat.astype(jnp.int32)) - 1
-    tgt = jnp.where(active_flat & (idx < limit), idx, limit)
-    over = active_flat & (idx >= limit)
-    inv = jnp.zeros((limit + 1,), jnp.int32).at[tgt].set(
-        jnp.arange(active_flat.shape[0], dtype=jnp.int32))
-    n_active = jnp.minimum(jnp.sum(active_flat.astype(jnp.int32)),
-                           limit)
-    return inv[:limit], n_active, over
+    overflow flat mask [S]).  Pool rows >= n_active gather an arbitrary
+    valid slot (garbage rows) — callers must scatter results back through
+    `_scatter_pool` which dumps them.
+
+    Built WITHOUT the S-sized scatter the original form used (r4's
+    lesson held again: a [S]-index scatter per pool per wave was a top
+    cost of the walk engine's waves) — pool slot j is the first flat
+    position where the active-rank cumsum reaches j+1, a searchsorted
+    probe over the sorted cumsum."""
+    S = active_flat.shape[0]
+    rank1 = jnp.cumsum(active_flat.astype(jnp.int32))   # 1-based at active
+    n_active = jnp.minimum(rank1[-1], limit)
+    inv = jnp.searchsorted(
+        rank1, jnp.arange(1, limit + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    inv = jnp.minimum(inv, S - 1)
+    over = active_flat & (rank1 > limit)
+    return inv, n_active, over
 
 
 def _scatter_pool(vals, inv, n_active, flat_size):
@@ -1046,6 +1053,9 @@ def _phase2(st, ad, fa, seqs, genome, *, k, max_ed, max_sc, band, P_MAX,
                     max_ed=max_ed, max_sc=max_sc, mat=mat, mis=mis,
                     ind=ind, xd=xd, EW=EW, KSCAN=KSCAN, WPP=WPP,
                     MIDP=MIDP, ENDP=ENDP)
+    if upto == "p2_walk":
+        return dict(defer=defer, ev=wk["events"],
+                    ldef=wk["lane_defer"])
 
     def run_side(mc, side_left, bound, ed_th, fam):
         eb, ec, edf = walk_fold(wk, fam, ed_th, bound, max_ed=max_ed,

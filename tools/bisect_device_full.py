@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--stages", default="all",
                     help="comma list: lookup,gather,chain,extract,full")
+    ap.add_argument("--ew", type=int, default=None)
+    ap.add_argument("--kscan", type=int, default=None)
+    ap.add_argument("--midp", type=int, default=None)
+    ap.add_argument("--endp", type=int, default=None)
     args = ap.parse_args()
 
     if args.cpu:
@@ -74,6 +78,11 @@ def main():
                                  chain_exec="device-full")
     st = pipe.states[0]
     statics = pipe._full_statics()
+    for knob in ("ew", "kscan", "midp", "endp"):
+        v = getattr(args, knob)
+        if v is not None:
+            statics[knob.upper().replace("MIDP", "MIDP")
+                    .replace("ENDP", "ENDP")] = v
     nf = pipe.filters[0]
     ad = st.anno
     fa = pipe.full_anno[0]
@@ -161,7 +170,7 @@ def main():
     # cumulative finish-stage programs: front -> finish(upto=...)
     fin_statics = {kk: v for kk, v in statics.items()
                    if kk not in ("cs_len", "n_slots", "seed_lim", "cap",
-                                 "max_intron", "seg_pad")}
+                                 "max_intron", "seg_pad", "seg_compact")}
 
     def fin(seqs, lens, mr, upto):
         qpos_all, start, cnt, high = lookup_batch_device(
@@ -195,7 +204,7 @@ def main():
             acc = acc + jnp.sum(v.astype(jnp.int32))
         return acc.reshape(1, 1)
 
-    for nm in ("phase1", "lo", "p2_grid", "p2_gath", "p2_ext",
+    for nm in ("phase1", "lo", "p2_grid", "p2_gath", "p2_walk", "p2_ext",
                "phase2", "pre"):
         stage_fns[f"f_{nm}"] = jax.jit(partial(fin, upto=nm))
 
