@@ -185,6 +185,25 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
     memb = jnp.any(tids[:, None, :] == tr[None, :, :], axis=1)
     act = p_live[None, :] & (tids >= 0) & memb         # [ST, WPP]
 
+    # ---- pack active tids to STW slots (order-preserving) ------------
+    # most pairs share only a handful of transcripts; every per-step
+    # annotation gather in the wave scan is linear in the tid-lane
+    # count, which the bisect measured as the walk's dominant term.
+    # Lanes whose common-tid count exceeds STW defer (rare: needs > STW
+    # shared isoforms at BOTH pair anchors).
+    STW = min(ST, 8)
+    rank1_t = jnp.cumsum(act.astype(jnp.int32), axis=0)    # [ST, WPP]
+    n_tid = rank1_t[-1]                                    # [WPP]
+    over_tid = p_live & (n_tid > STW)
+    t_io_f = jnp.arange(ST, dtype=jnp.int32)[:, None]
+    pack = jnp.stack(
+        [jnp.min(jnp.where(act & (rank1_t == j + 1), t_io_f, ST), axis=0)
+         for j in range(STW)], axis=0)                     # [STW, WPP]
+    safe_p = jnp.clip(pack, 0, ST - 1)
+    tids = jnp.take_along_axis(tids, safe_p, axis=0)
+    act = (pack < ST) & ~over_tid[None, :]                 # [STW, WPP]
+    ST = STW
+
     tc = jnp.clip(tids, 0, NT - 1)
     tstart = fa.trans_start[tc]
     toff = fa.t2s_off[tc]
@@ -510,7 +529,8 @@ def walk_waves(act4, pos4, len4, aiv4, row4, qs04, left4, fiv, riv,
     (i_abs, xpos, exlen, covered, first, stat, pend_iv, pend_xpos,
      pend_exlen, pend_cov, pend_rr, remref, nev, events) = wcarry
 
-    lane_defer = jnp.any((stat != WK_DONE) & act, axis=0)      # [WPP]
+    lane_defer = jnp.any((stat != WK_DONE) & act, axis=0) \
+        | over_tid                                             # [WPP]
     return dict(events=events.reshape(ST * EW, EV_NF, WPP), act=act,
                 inv=inv, n_act=n_act, over=over, lane_defer=lane_defer,
                 p_pos=p_pos, p_len=p_len, p_live=p_live, N=N, ST=ST,
