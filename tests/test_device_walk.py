@@ -97,3 +97,29 @@ def test_walk_budget_starved_defers(dense_lib):
     causes = pf.full_stats.get("causes", {})
     assert causes.get("extwalk", 0) > 0, \
         "starved engine should defer multi-exon walks"
+
+
+def test_walk_many_isoforms_tid_overflow_exact():
+    """More common transcripts than the packed STW=8 tid lanes: affected
+    pairs must defer (host replay), never silently truncate — outputs
+    stay bit-equal to native."""
+    rng = np.random.default_rng(23)
+    g = make_genome(rng, length=60_000, n_genes=3, exons_per_gene=6,
+                    exon_len=(60, 150), intron_len=(150, 400),
+                    n_isoforms=12, bnd_jitter=10)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ref, gtf = os.path.join(d, "ref.fa"), os.path.join(d, "ref.gtf")
+    g.write_fasta(ref)
+    g.write_gtf(gtf)
+    cfg = Config(kmer=20, max_read_len=100)
+    gp = GenomePacker(ref)
+    contigs, info = gp.pack_genome()
+    gi = build_genome_index(contigs, cfg)
+    db = AnnotationDB.from_gtf(gtf, info, 1, cfg,
+                               contig_lengths=[len(c) for c in contigs])
+    reads, _ = simulate_reads(rng, g, 120, 60, read_len=100,
+                              err_rate=0.005)
+    pairs_n, _ = _run(db, gi, cfg, reads, "native")
+    pairs_f, _ = _run(db, gi, cfg, reads, "device-full")
+    _assert_parity(pairs_n, pairs_f)
